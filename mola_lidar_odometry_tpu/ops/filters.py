@@ -1,0 +1,202 @@
+"""Point-cloud filter kernels — TPU equivalents of mp2p_icp_filters.
+
+Each function is a pure, jit/vmap-safe array op over masked fixed-capacity
+``PointCloud`` buffers.  Contracts follow the reference YAML usage (see
+SURVEY.md §2.3):
+
+  * ``FilterDecimateVoxels``  -> :func:`decimate_voxels`
+      (pipelines/lidar3d-default.yaml:285-292)
+  * ``FilterByRange``         -> :func:`filter_by_range`      (:297-302)
+  * ``FilterBoundingBox``     -> :func:`filter_bounding_box`  (:305-310)
+  * ``FilterDeskew``          -> :func:`deskew`               (:328-350)
+  * ``FilterAdjustTimestamps``-> :func:`adjust_timestamps`    (:267-276)
+  * ``FilterNormalizeIntensity``/``FilterByIntensity``/``FilterCurvature``
+      -> :func:`normalize_intensity` / :func:`filter_by_intensity` /
+         :func:`filter_curvature` (extras pipelines)
+
+Voxel decimation replaces the reference's per-voxel hash map walk with a
+parallel scatter-min: every point computes its voxel's hash slot, the lowest
+point index wins the slot, and winners keep their points ("FirstPoint"
+semantics — first point in input order per voxel).  Two voxels that collide
+in the hash table merge (one voxel is dropped for that frame); with the
+default table 4x larger than the point count this is rare and only slightly
+over-decimates.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mola_lidar_odometry_tpu.ops import se3
+from mola_lidar_odometry_tpu.ops.pointcloud import PointCloud
+
+# Spatial hash primes (standard Teschner et al. constants).
+_HX = jnp.int32(73856093)
+_HY = jnp.int32(19349663)
+_HZ = jnp.int32(83492791)
+
+
+def voxel_coords(xyz: jax.Array, voxel_size) -> jax.Array:
+    """Integer voxel coordinates: floor(x / voxel_size), (..., 3) i32."""
+    return jnp.floor(xyz / voxel_size).astype(jnp.int32)
+
+
+def voxel_hash(coords: jax.Array, table_size: int) -> jax.Array:
+    """Spatial hash of (..., 3) i32 voxel coords into [0, table_size).
+
+    table_size must be a power of two.
+    """
+    h = coords[..., 0] * _HX ^ coords[..., 1] * _HY ^ coords[..., 2] * _HZ
+    return (h & jnp.int32(table_size - 1)).astype(jnp.int32)
+
+
+def decimate_voxels(
+    pc: PointCloud,
+    voxel_size,
+    out_capacity: int,
+    *,
+    method: str = "FirstPoint",
+    min_input_points: int = 0,
+    table_size: int = 1 << 19,
+) -> PointCloud:
+    """Voxel-grid downsample (FilterDecimateVoxels).
+
+    ``method``:
+      * ``FirstPoint``        — keep the first valid input point per voxel.
+      * ``ClosestToAverage``  — keep the point closest to the voxel centroid.
+
+    If the number of valid input points is below ``min_input_points`` the
+    input passes through unfiltered (reference
+    ``minimum_input_points_to_filter``), still compacted to ``out_capacity``.
+    """
+    n = pc.capacity
+    slots = voxel_hash(voxel_coords(pc.xyz, voxel_size), table_size)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    big = jnp.int32(n)
+
+    if method == "FirstPoint":
+        cand = jnp.where(pc.valid, idx, big)
+    elif method == "ClosestToAverage":
+        # Pass 1: per-slot centroid via scatter-add.
+        ssum = jnp.zeros((table_size, 3), jnp.float32).at[slots].add(
+            jnp.where(pc.valid[:, None], pc.xyz, 0.0), mode="drop"
+        )
+        scnt = jnp.zeros((table_size,), jnp.float32).at[slots].add(
+            pc.valid.astype(jnp.float32), mode="drop"
+        )
+        mean = ssum[slots] / jnp.maximum(scnt[slots], 1.0)[:, None]
+        d2 = jnp.sum((pc.xyz - mean) ** 2, axis=-1)
+        # Pack (distance, idx) into a single sortable int64-free key: use
+        # f32 distance bits (non-negative floats sort like their bits) in the
+        # high part of an int64 via two-stage scatter-min on int32 pairs.
+        # Simpler: scatter-min distance, then first index attaining it wins.
+        dist_table = jnp.full((table_size,), jnp.inf, jnp.float32).at[slots].min(
+            jnp.where(pc.valid, d2, jnp.inf), mode="drop"
+        )
+        attains = pc.valid & (d2 <= dist_table[slots])
+        cand = jnp.where(attains, idx, big)
+    else:
+        raise ValueError(f"Unknown decimate method {method!r}")
+
+    table = jnp.full((table_size,), big, jnp.int32).at[slots].min(cand, mode="drop")
+    keep = pc.valid & (table[slots] == idx)
+
+    n_in = pc.count()
+    passthrough = n_in < min_input_points
+    keep = jnp.where(passthrough, pc.valid, keep)
+    return pc._replace(valid=keep).compact(out_capacity)
+
+
+def filter_by_range(
+    pc: PointCloud, range_min, range_max
+) -> Tuple[PointCloud, PointCloud]:
+    """Split by sensor-frame range: (between, outside) layers (FilterByRange)."""
+    r2 = jnp.sum(pc.xyz * pc.xyz, axis=-1)
+    between = (r2 >= range_min * range_min) & (r2 <= range_max * range_max)
+    return pc.with_mask(between), pc.with_mask(~between)
+
+
+def filter_bounding_box(
+    pc: PointCloud, bb_min, bb_max
+) -> Tuple[PointCloud, PointCloud]:
+    """Split by axis-aligned box: (inside, outside) layers (FilterBoundingBox)."""
+    bb_min = jnp.asarray(bb_min, jnp.float32)
+    bb_max = jnp.asarray(bb_max, jnp.float32)
+    inside = jnp.all((pc.xyz >= bb_min) & (pc.xyz <= bb_max), axis=-1)
+    return pc.with_mask(inside), pc.with_mask(~inside)
+
+
+def adjust_timestamps(pc: PointCloud, *, method: str = "MiddleIsZero", offset=0.0) -> PointCloud:
+    """Shift per-point timestamps (FilterAdjustTimestamps).
+
+    ``MiddleIsZero``: the midpoint of [t_min, t_max] maps to 0.
+    ``EarliestIsZero``: t_min maps to 0.  ``offset`` (the per-sensor
+    SENSOR_TIME_OFFSET dynamic variable) is added afterwards.
+    """
+    tmin = jnp.min(jnp.where(pc.valid, pc.time, jnp.inf))
+    tmax = jnp.max(jnp.where(pc.valid, pc.time, -jnp.inf))
+    any_valid = jnp.any(pc.valid)
+    tmin = jnp.where(any_valid, tmin, 0.0)
+    tmax = jnp.where(any_valid, tmax, 0.0)
+    if method == "MiddleIsZero":
+        shift = 0.5 * (tmin + tmax)
+    elif method == "EarliestIsZero":
+        shift = tmin
+    else:
+        raise ValueError(f"Unknown timestamp method {method!r}")
+    return pc._replace(time=jnp.where(pc.valid, pc.time - shift + offset, pc.time))
+
+
+def deskew(pc: PointCloud, twist: jax.Array, *, skip: bool = False) -> PointCloud:
+    """Motion-compensate points using the body twist (FilterDeskew).
+
+    Each point at relative time dt moves to ``R(w*dt) p + v*dt`` where
+    ``twist = [vx vy vz wx wy wz]`` — the vehicle pose advanced by constant
+    twist from the timestamp-zero reference instant (which
+    ``adjust_timestamps(MiddleIsZero)`` put mid-scan).
+    """
+    if skip:
+        return pc
+    v, w = twist[:3], twist[3:]
+    dt = pc.time[:, None]
+    Rp = se3.so3_exp(w[None, :] * dt)  # (N, 3, 3)
+    xyz = jnp.einsum("nij,nj->ni", Rp, pc.xyz) + v[None, :] * dt
+    return pc._replace(xyz=jnp.where(pc.valid[:, None], xyz, pc.xyz))
+
+
+def normalize_intensity(pc: PointCloud) -> PointCloud:
+    """Scale intensities into [0, 1] by the per-frame max (FilterNormalizeIntensity)."""
+    m = jnp.max(jnp.where(pc.valid, pc.intensity, 0.0))
+    return pc._replace(intensity=pc.intensity / jnp.maximum(m, 1e-12))
+
+
+def filter_by_intensity(pc: PointCloud, low, high) -> PointCloud:
+    """Keep points with intensity in [low, high] (FilterByIntensity)."""
+    keep = (pc.intensity >= low) & (pc.intensity <= high)
+    return pc.with_mask(keep)
+
+
+def filter_curvature(
+    pc: PointCloud, *, max_cosine: float = 0.5, min_clearance: float = 0.02, window: int = 2
+) -> PointCloud:
+    """Keep high-curvature ("edge") points along the scan order (FilterCurvature).
+
+    The reference's FilterCurvature walks each ring and scores a point by the
+    angle between its neighbors (extras/lidar3d-edges.yaml:252-259).  Here the
+    score is the cosine of the angle between the vectors to the +/-``window``
+    neighbors in buffer order within the same ring; edges keep
+    ``cos > -max_cosine`` ... points on straight lines have cos ~ -1.
+    """
+    prev = jnp.roll(pc.xyz, window, axis=0)
+    nxt = jnp.roll(pc.xyz, -window, axis=0)
+    ring_ok = (jnp.roll(pc.ring, window) == pc.ring) & (jnp.roll(pc.ring, -window) == pc.ring)
+    a = prev - pc.xyz
+    b = nxt - pc.xyz
+    na = jnp.linalg.norm(a, axis=-1)
+    nb = jnp.linalg.norm(b, axis=-1)
+    cos = jnp.sum(a * b, axis=-1) / jnp.maximum(na * nb, 1e-9)
+    is_edge = (cos > -max_cosine) & (na > min_clearance) & (nb > min_clearance) & ring_ok
+    return pc.with_mask(is_edge)

@@ -1,0 +1,152 @@
+"""Unit tests for point-buffer + filter kernels (reference L2 filter parity)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mola_lidar_odometry_tpu.ops import filters, se3
+from mola_lidar_odometry_tpu.ops.pointcloud import PointCloud
+
+
+def make_cloud(xyz, **kw):
+    return PointCloud.from_xyz(jnp.asarray(xyz, jnp.float32), **kw)
+
+
+class TestPointCloud:
+    def test_compact(self):
+        pc = make_cloud(np.arange(30).reshape(10, 3))
+        pc = pc.with_mask(jnp.asarray([1, 0, 1, 0, 0, 1, 0, 0, 0, 1], bool))
+        out = jax.jit(lambda p: p.compact(6))(pc)
+        assert int(out.count()) == 4
+        np.testing.assert_array_equal(np.asarray(out.xyz[0]), [0, 1, 2])
+        np.testing.assert_array_equal(np.asarray(out.xyz[3]), [27, 28, 29])
+        assert not bool(out.valid[4])
+
+    def test_compact_overflow_drops(self):
+        pc = make_cloud(np.ones((10, 3)))
+        out = pc.compact(4)
+        assert int(out.count()) == 4
+
+    def test_bounding_radius(self):
+        pc = make_cloud([[3, 4, 0], [0, 0, 1]])
+        assert float(pc.bounding_radius()) == pytest.approx(5.0)
+
+
+class TestDecimate:
+    def test_first_point_per_voxel(self):
+        xyz = np.array(
+            [[0.1, 0.1, 0.1], [0.2, 0.2, 0.2], [1.5, 0.1, 0.1], [0.15, 0.12, 0.18]],
+            dtype=np.float32,
+        )
+        pc = make_cloud(xyz)
+        out = jax.jit(
+            lambda p: filters.decimate_voxels(p, 1.0, 4, table_size=1 << 12)
+        )(pc)
+        kept = np.asarray(out.xyz)[np.asarray(out.valid)]
+        # first point of voxel(0,0,0) is index 0; voxel(1,0,0) keeps index 2
+        assert kept.shape[0] == 2
+        np.testing.assert_allclose(kept[0], xyz[0])
+        np.testing.assert_allclose(kept[1], xyz[2])
+
+    def test_min_input_passthrough(self):
+        xyz = np.random.default_rng(0).uniform(0, 0.5, (8, 3)).astype(np.float32)
+        pc = make_cloud(xyz)
+        out = filters.decimate_voxels(pc, 1.0, 8, min_input_points=100)
+        assert int(out.count()) == 8  # too few points: no decimation
+
+    def test_decimation_rate(self):
+        rng = np.random.default_rng(1)
+        xyz = rng.uniform(-20, 20, (20000, 3)).astype(np.float32)
+        pc = make_cloud(xyz)
+        out = jax.jit(lambda p: filters.decimate_voxels(p, 2.0, 16384))(pc)
+        n = int(out.count())
+        # ~8000 occupied 2m voxels in a 40m cube with 20k uniform points:
+        # most voxels occupied -> heavy reduction but thousands kept
+        assert 4000 < n < 12000
+
+    def test_closest_to_average(self):
+        xyz = np.array([[0.9, 0.5, 0.5], [0.5, 0.5, 0.5], [0.1, 0.5, 0.5]], dtype=np.float32)
+        pc = make_cloud(xyz)
+        out = filters.decimate_voxels(pc, 1.0, 3, method="ClosestToAverage")
+        kept = np.asarray(out.xyz)[np.asarray(out.valid)]
+        assert kept.shape[0] == 1
+        np.testing.assert_allclose(kept[0], xyz[1])  # centroid = (0.5, .5, .5)
+
+
+class TestRangeBox:
+    def test_by_range(self):
+        pc = make_cloud([[1, 0, 0], [5, 0, 0], [50, 0, 0]])
+        between, outside = jax.jit(lambda p: filters.filter_by_range(p, 2.0, 10.0))(pc)
+        assert int(between.count()) == 1 and int(outside.count()) == 2
+        assert bool(between.valid[1])
+
+    def test_bounding_box(self):
+        pc = make_cloud([[0, 0, 5], [0, 0, -5], [20, 0, 5]])
+        inside, outside = filters.filter_bounding_box(pc, [-10, -10, 0], [10, 10, 10])
+        assert int(inside.count()) == 1 and int(outside.count()) == 2
+
+
+class TestTimestamps:
+    def test_middle_is_zero(self):
+        pc = make_cloud(np.zeros((4, 3)), time=jnp.asarray([0.0, 0.02, 0.08, 0.1]))
+        out = filters.adjust_timestamps(pc, method="MiddleIsZero")
+        np.testing.assert_allclose(
+            np.asarray(out.time), [-0.05, -0.03, 0.03, 0.05], atol=1e-6
+        )
+
+    def test_earliest_is_zero_with_offset(self):
+        pc = make_cloud(np.zeros((3, 3)), time=jnp.asarray([0.5, 0.6, 0.7]))
+        out = filters.adjust_timestamps(pc, method="EarliestIsZero", offset=0.1)
+        np.testing.assert_allclose(np.asarray(out.time), [0.1, 0.2, 0.3], atol=1e-6)
+
+
+class TestDeskew:
+    def test_pure_translation(self):
+        pc = make_cloud([[10, 0, 0], [10, 0, 0]], time=jnp.asarray([-0.05, 0.05]))
+        tw = jnp.asarray([2.0, 0, 0, 0, 0, 0], jnp.float32)  # 2 m/s forward
+        out = jax.jit(filters.deskew)(pc, tw)
+        np.testing.assert_allclose(np.asarray(out.xyz[0]), [9.9, 0, 0], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.xyz[1]), [10.1, 0, 0], atol=1e-6)
+
+    def test_rotation(self):
+        pc = make_cloud([[1, 0, 0]], time=jnp.asarray([0.5]))
+        tw = jnp.asarray([0, 0, 0, 0, 0, np.pi], jnp.float32)  # pi rad/s yaw
+        out = filters.deskew(pc, tw)
+        # rotated by pi/2 about z
+        np.testing.assert_allclose(np.asarray(out.xyz[0]), [0, 1, 0], atol=1e-5)
+
+    def test_exact_inverse_of_motion(self):
+        # Points sampled from a wall while the sensor moves with constant
+        # twist must deskew back to the scan-reference-instant geometry.
+        rng = np.random.default_rng(2)
+        p_world = rng.uniform(-5, 5, (64, 3)).astype(np.float32)
+        tw = jnp.asarray([1.0, -0.5, 0.2, 0.05, -0.02, 0.4], jnp.float32)
+        times = jnp.asarray(rng.uniform(-0.05, 0.05, 64), jnp.float32)
+        # sensor pose at dt: T(dt) = (R(w dt), v dt); observed = T(dt)^-1 p
+        v, w = tw[:3], tw[3:]
+        Rdt = se3.so3_exp(w[None, :] * times[:, None])
+        obs = jnp.einsum("nji,nj->ni", Rdt, p_world - v[None, :] * times[:, None])
+        pc = PointCloud.from_xyz(obs, time=times)
+        out = filters.deskew(pc, tw)
+        np.testing.assert_allclose(np.asarray(out.xyz), p_world, atol=1e-5)
+
+
+class TestIntensityCurvature:
+    def test_normalize_and_threshold(self):
+        pc = make_cloud(np.zeros((3, 3)), intensity=jnp.asarray([1.0, 2.0, 4.0]))
+        out = filters.normalize_intensity(pc)
+        np.testing.assert_allclose(np.asarray(out.intensity), [0.25, 0.5, 1.0])
+        out2 = filters.filter_by_intensity(out, 0.3, 0.9)
+        assert int(out2.count()) == 1
+
+    def test_curvature_keeps_corner(self):
+        # straight line with one corner point
+        xs = np.linspace(0, 1, 11)
+        line = np.stack([xs, np.zeros(11), np.zeros(11)], axis=1)
+        line[7:, 1] = (xs[7:] - xs[6]) * 3.0  # bend upward at index 6
+        pc = make_cloud(line)
+        out = filters.filter_curvature(pc, window=2, max_cosine=0.9)
+        kept = set(np.nonzero(np.asarray(out.valid))[0].tolist())
+        assert 6 in kept or 7 in kept
+        assert 2 not in kept and 3 not in kept
