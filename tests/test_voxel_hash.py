@@ -1,0 +1,117 @@
+"""Tests for the hash-voxel map: insert / cap / prune / NN query.
+
+Correctness is diffed against a brute-force dense reference (numpy), per
+SURVEY.md §7 step 4.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mola_lidar_odometry_tpu.ops import voxel_hash as vh
+from mola_lidar_odometry_tpu.ops.pointcloud import PointCloud
+
+
+def cloud(xyz):
+    return PointCloud.from_xyz(jnp.asarray(xyz, jnp.float32))
+
+
+def test_insert_and_counts():
+    m = vh.VoxelHashMap.create(1 << 12, 4, 1.0)
+    xyz = np.array(
+        [[0.1, 0.1, 0.1], [0.2, 0.2, 0.2], [1.5, 0.5, 0.5], [0.3, 0.3, 0.3]],
+        dtype=np.float32,
+    )
+    m = jax.jit(vh.insert)(m, cloud(xyz))
+    assert int(m.num_voxels()) == 2
+    assert int(m.num_points()) == 4
+
+
+def test_per_voxel_cap():
+    m = vh.VoxelHashMap.create(1 << 12, 3, 1.0)
+    xyz = np.tile(np.array([[0.5, 0.5, 0.5]], dtype=np.float32), (10, 1))
+    xyz += np.random.default_rng(0).uniform(0, 0.3, (10, 3)).astype(np.float32)
+    m = vh.insert(m, cloud(xyz))
+    assert int(m.num_points()) == 3  # capped at K
+
+
+def test_incremental_insert_respects_existing():
+    m = vh.VoxelHashMap.create(1 << 12, 4, 1.0)
+    m = vh.insert(m, cloud([[0.1, 0.1, 0.1]]))
+    m = vh.insert(m, cloud([[0.2, 0.2, 0.2], [0.3, 0.1, 0.4]]))
+    assert int(m.num_voxels()) == 1
+    assert int(m.num_points()) == 3
+    m = vh.insert(m, cloud([[0.4, 0.4, 0.4], [0.5, 0.5, 0.5]]))
+    assert int(m.num_points()) == 4  # cap K=4
+
+
+def test_prune_farther_than():
+    m = vh.VoxelHashMap.create(1 << 12, 4, 1.0)
+    m = vh.insert(m, cloud([[0.5, 0.5, 0.5], [10.5, 0.5, 0.5], [0.5, 30.5, 0.5]]))
+    assert int(m.num_voxels()) == 3
+    m = jax.jit(vh.prune_farther_than)(m, jnp.zeros(3), 20.0)
+    assert int(m.num_voxels()) == 2  # the y=30 voxel dropped (L1 > 20)
+    m2 = vh.prune_farther_than(m, jnp.zeros(3), 0.0)
+    assert int(m2.num_voxels()) == 2  # 0 disables pruning
+
+
+def test_negative_coords_roundtrip():
+    m = vh.VoxelHashMap.create(1 << 12, 4, 0.5)
+    pts = np.array([[-3.2, -0.1, -7.9], [-3.4, -0.2, -7.0]], dtype=np.float32)
+    m = vh.insert(m, cloud(pts))
+    assert int(m.num_voxels()) == 2
+    nn, d2, found = vh.query_nn(m, jnp.asarray(pts), jnp.ones(2, bool))
+    assert bool(found.all())
+    np.testing.assert_allclose(np.asarray(d2), 0.0, atol=1e-10)
+
+
+def test_query_nn_vs_bruteforce():
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-10, 10, (2000, 3)).astype(np.float32)
+    m = vh.VoxelHashMap.create(1 << 14, 8, 1.0)
+    m = jax.jit(vh.insert)(m, cloud(pts))
+
+    queries = (pts[:100] + rng.uniform(-0.3, 0.3, (100, 3))).astype(np.float32)
+    nn, d2, found = jax.jit(vh.query_nn)(m, jnp.asarray(queries), jnp.ones(100, bool))
+    nn, d2, found = np.asarray(nn), np.asarray(d2), np.asarray(found)
+
+    # Brute force over points actually stored in the map (insert may cap/drop)
+    stored = np.asarray(vh.as_pointcloud(m, 4096).xyz)
+    stored_n = int(vh.as_pointcloud(m, 4096).count().sum())
+    stored = stored[:stored_n]
+    for i in range(100):
+        d = np.sum((stored - queries[i]) ** 2, axis=1)
+        jbest = d.argmin()
+        if found[i]:
+            # query result must match brute force whenever brute-force NN lies
+            # within the 27-voxel neighborhood (here offsets are < 1 voxel)
+            assert abs(d[jbest] - d2[i]) < 1e-4, (i, d[jbest], d2[i])
+
+
+def test_query_respects_neighborhood_limit():
+    m = vh.VoxelHashMap.create(1 << 12, 4, 1.0)
+    m = vh.insert(m, cloud([[5.5, 5.5, 5.5]]))
+    # query 10 voxels away: no candidates in 27-neighborhood
+    _, d2, found = vh.query_nn(m, jnp.asarray([[15.5, 5.5, 5.5]]), jnp.ones(1, bool))
+    assert not bool(found[0])
+
+
+def test_as_pointcloud():
+    m = vh.VoxelHashMap.create(1 << 12, 4, 1.0)
+    xyz = np.array([[0.1, 0.2, 0.3], [5.1, 5.2, 5.3]], dtype=np.float32)
+    m = vh.insert(m, cloud(xyz))
+    pc = vh.as_pointcloud(m, 16)
+    got = np.sort(np.asarray(pc.xyz)[np.asarray(pc.valid)], axis=0)
+    np.testing.assert_allclose(got, np.sort(xyz, axis=0), atol=1e-6)
+
+
+def test_vmap_batch_of_maps():
+    # Fleet mode: independent maps under vmap
+    def build(seed):
+        m = vh.VoxelHashMap.create(1 << 10, 4, 1.0)
+        pts = jax.random.uniform(jax.random.PRNGKey(seed), (64, 3)) * 10
+        return vh.insert(m, PointCloud.from_xyz(pts)).num_points()
+
+    counts = jax.vmap(lambda s: build(s))(jnp.arange(4))
+    assert counts.shape == (4,)
+    assert all(int(c) > 0 for c in counts)
