@@ -1,0 +1,178 @@
+"""Tests for the GN solver, Horn solver, and the ICP loop on synthetic clouds."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mola_lidar_odometry_tpu.ops import icp, se3, voxel_hash as vh
+from mola_lidar_odometry_tpu.ops.pointcloud import PointCloud
+from mola_lidar_odometry_tpu.ops.se3 import Pose
+from mola_lidar_odometry_tpu.ops.solver import (
+    PosePrior,
+    geman_mcclure_weight,
+    solve_gauss_newton,
+    solve_horn,
+)
+from mola_lidar_odometry_tpu.utils.expr import Expr
+
+
+def structured_world(n=3000, seed=0):
+    """Points on a few planes + scattered boxes (well-constrained geometry)."""
+    rng = np.random.default_rng(seed)
+    ground = np.stack(
+        [rng.uniform(-20, 20, n // 3), rng.uniform(-20, 20, n // 3), np.zeros(n // 3)], 1
+    )
+    wall1 = np.stack(
+        [np.full(n // 3, 15.0), rng.uniform(-20, 20, n // 3), rng.uniform(0, 5, n // 3)], 1
+    )
+    wall2 = np.stack(
+        [rng.uniform(-20, 20, n - 2 * (n // 3)), np.full(n - 2 * (n // 3), -12.0),
+         rng.uniform(0, 5, n - 2 * (n // 3))], 1
+    )
+    return np.concatenate([ground, wall1, wall2]).astype(np.float32)
+
+
+class TestSolver:
+    def test_gm_weight(self):
+        w = geman_mcclure_weight(jnp.asarray([0.0, 1.0, 100.0]), 1.0)
+        np.testing.assert_allclose(np.asarray(w), [1.0, 0.25, (1 / 101) ** 2], rtol=1e-5)
+
+    def test_gn_recovers_transform(self):
+        pts = jnp.asarray(structured_world(600), jnp.float32)
+        true = se3.se3_exp(jnp.asarray([0.1, -0.05, 0.02, 0.01, -0.02, 0.03], jnp.float32))
+        # local points observed from the "true" pose: q = T p  => solve for T
+        p_local = se3.transform(se3.inverse(true), pts)
+        pose = Pose.identity()
+        for _ in range(5):
+            pose, _ = solve_gauss_newton(
+                pose, p_local, pts, jnp.ones(pts.shape[0], bool), 1.0, PosePrior.none(), 2
+            )
+        dt, dr = se3.pose_error_norms(pose, true)
+        assert float(dt) < 1e-4 and float(dr) < 1e-5
+
+    def test_gn_prior_only(self):
+        # No pairings: pose should move to the prior mean
+        prior_mean = se3.se3_exp(jnp.asarray([0.5, 0, 0, 0, 0, 0.1], jnp.float32))
+        prior = PosePrior(prior_mean, jnp.eye(6, dtype=jnp.float32) * 10.0)
+        pose = Pose.identity()
+        for _ in range(8):
+            pose, _ = solve_gauss_newton(
+                pose, jnp.zeros((4, 3)), jnp.zeros((4, 3)), jnp.zeros(4, bool), 1.0, prior, 1
+            )
+        dt, dr = se3.pose_error_norms(pose, prior_mean)
+        assert float(dt) < 1e-4 and float(dr) < 1e-4
+
+    def test_se2_pinning_prior(self):
+        # large info on z/rot_x/rot_y keeps the solution planar even with
+        # out-of-plane noise pulling it away
+        pts = jnp.asarray(structured_world(600, seed=1), jnp.float32)
+        true = se3.se3_exp(jnp.asarray([0.3, 0.1, 0.0, 0.0, 0.0, 0.05], jnp.float32))
+        p_local = se3.transform(se3.inverse(true), pts)
+        info = jnp.diag(jnp.asarray([0, 0, 1e6, 1e6, 1e6, 0], jnp.float32))
+        prior = PosePrior(Pose.identity(), info)
+        pose = Pose.identity()
+        for _ in range(6):
+            pose, _ = solve_gauss_newton(
+                pose, p_local, pts, jnp.ones(pts.shape[0], bool), 1.0, prior, 2
+            )
+        assert abs(float(pose.t[2])) < 1e-3
+        dt, dr = se3.pose_error_norms(pose, true)
+        assert float(dt) < 0.01
+
+    def test_horn(self):
+        rng = np.random.default_rng(2)
+        p = jnp.asarray(rng.uniform(-5, 5, (50, 3)), jnp.float32)
+        true = se3.se3_exp(jnp.asarray([1.0, -2.0, 0.5, 0.3, -0.2, 0.8], jnp.float32))
+        q = se3.transform(true, p)
+        est = solve_horn(p, q, jnp.ones(50, bool))
+        dt, dr = se3.pose_error_norms(est, true)
+        assert float(dt) < 1e-4 and float(dr) < 1e-5
+
+    def test_horn_degenerate(self):
+        est = solve_horn(jnp.zeros((5, 3)), jnp.zeros((5, 3)), jnp.zeros(5, bool))
+        np.testing.assert_allclose(np.asarray(est.R), np.eye(3), atol=1e-6)
+
+
+class TestIcpLoop:
+    def make_map(self, pts, voxel=0.7):
+        m = vh.VoxelHashMap.create(1 << 16, 16, voxel)
+        return vh.insert(m, PointCloud.from_xyz(jnp.asarray(pts)))
+
+    def test_align_converges_to_truth(self):
+        world = structured_world(4000)
+        m = self.make_map(world)
+        true = se3.se3_exp(jnp.asarray([0.4, -0.2, 0.05, 0.02, -0.01, 0.06], jnp.float32))
+        scan_local = se3.transform(se3.inverse(true), jnp.asarray(world[::2]))
+
+        cfg = icp.IcpConfig(
+            max_iterations=60,
+            threshold=Expr("2.0*SIGMA"),
+            kernel_param=Expr("0.5*SIGMA"),
+        )
+        env = {"SIGMA": jnp.float32(1.0)}
+        res = jax.jit(
+            lambda m, s: icp.align(
+                m, s, jnp.ones(s.shape[0], bool), Pose.identity(), PosePrior.none(), cfg, env
+            )
+        )(m, scan_local)
+        dt, dr = se3.pose_error_norms(res.pose, true)
+        assert float(dt) < 0.02, float(dt)
+        assert float(dr) < 5e-3
+        assert float(res.quality) > 0.8
+        assert bool(res.converged)
+        assert 2 <= int(res.iterations) < 60
+
+    def test_align_quality_low_on_garbage(self):
+        world = structured_world(2000)
+        m = self.make_map(world)
+        far = jnp.asarray(structured_world(500, seed=9) + 500.0)  # disjoint area
+        cfg = icp.IcpConfig(max_iterations=10, threshold=Expr("2.0"), kernel_param=Expr("1.0"))
+        res = icp.align(
+            m, far, jnp.ones(far.shape[0], bool), Pose.identity(), PosePrior.none(), cfg, {}
+        )
+        assert float(res.quality) < 0.05
+
+    def test_hook_stop(self):
+        world = structured_world(3000)
+        m = self.make_map(world)
+        true = se3.se3_exp(jnp.asarray([0.8, 0.0, 0.0, 0.0, 0.0, 0.0], jnp.float32))
+        scan_local = se3.transform(se3.inverse(true), jnp.asarray(world))
+        cfg = icp.IcpConfig(
+            max_iterations=60,
+            threshold=Expr("3.0"),
+            kernel_param=Expr("1.0"),
+            hook_min_trans=0.15,
+            hook_min_rot=np.deg2rad(0.75),
+        )
+        res = icp.align(
+            m, scan_local, jnp.ones(scan_local.shape[0], bool),
+            Pose.identity(), PosePrior.none(), cfg, {},
+        )
+        # the 0.8 m correction exceeds the 0.15 m hook threshold
+        assert bool(res.hook_stop)
+        # resume with remaining budget from the hook pose: should finish
+        res2 = icp.align(
+            m, scan_local, jnp.ones(scan_local.shape[0], bool),
+            res.pose, PosePrior.none(), cfg._replace_hook_off() if hasattr(cfg, "_replace_hook_off") else icp.IcpConfig(
+                max_iterations=60, threshold=Expr("3.0"), kernel_param=Expr("1.0")
+            ),
+            {},
+        )
+        dt, _ = se3.pose_error_norms(res2.pose, true)
+        assert float(dt) < 0.03
+
+    def test_annealed_threshold_env(self):
+        # ICP_ITERATION is injected into the env: threshold shrinks with iters
+        cfg = icp.IcpConfig(
+            max_iterations=5,
+            threshold=Expr("max(1.0, 4.0 - ICP_ITERATION)"),
+            kernel_param=Expr("1.0"),
+        )
+        world = structured_world(1500)
+        m = self.make_map(world)
+        scan = jnp.asarray(world[::3])
+        res = icp.align(
+            m, scan, jnp.ones(scan.shape[0], bool), Pose.identity(), PosePrior.none(), cfg, {}
+        )
+        assert float(res.quality) > 0.9  # already aligned: converges immediately
