@@ -1,0 +1,270 @@
+"""YAML filter pipelines compiled to jit-safe layer-dict transforms.
+
+The reference builds ``mp2p_icp_filters::FilterPipeline`` objects from YAML
+lists and runs them on a ``metric_map_t`` of named layers per frame
+(reference module/src/LidarOdometry.cpp:280-284, 734-741; YAML
+pipelines/lidar3d-default.yaml:267-358).  Here each YAML entry becomes a
+small dataclass holding compiled :class:`~..utils.expr.Expr` parameters, and
+:func:`apply_pipeline` threads a ``dict[str, PointCloud]`` through them with
+the current dynamic-variable environment — all inside jit.
+
+Static layer capacities: masked filters (range/bbox/deskew/intensity) keep
+their input capacity; decimators compact into a configured capacity
+(``capacities`` map, with heuristics by layer name).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from mola_lidar_odometry_tpu.ops import filters as F
+from mola_lidar_odometry_tpu.ops.pointcloud import PointCloud
+from mola_lidar_odometry_tpu.utils.config import as_bool, as_str
+from mola_lidar_odometry_tpu.utils.expr import Expr, as_expr
+
+
+@dataclass(frozen=True)
+class DecimateOp:
+    input: str
+    output: str
+    resolution: Expr
+    out_capacity: int
+    method: str = "FirstPoint"
+    min_input_points: int = 0
+
+    def __call__(self, layers, env):
+        res = self.resolution(env)
+        layers[self.output] = F.decimate_voxels(
+            layers[self.input],
+            res,
+            self.out_capacity,
+            method=self.method,
+            min_input_points=self.min_input_points,
+        )
+
+
+@dataclass(frozen=True)
+class RangeOp:
+    input: str
+    between: Optional[str]
+    outside: Optional[str]
+    range_min: Expr
+    range_max: Expr
+
+    def __call__(self, layers, env):
+        lo, hi = self.range_min(env), self.range_max(env)
+        btw, out = F.filter_by_range(layers[self.input], lo, hi)
+        if self.between:
+            layers[self.between] = btw
+        if self.outside:
+            layers[self.outside] = out
+
+
+@dataclass(frozen=True)
+class BBoxOp:
+    input: str
+    inside: Optional[str]
+    outside: Optional[str]
+    bb_min: Tuple[Expr, Expr, Expr]
+    bb_max: Tuple[Expr, Expr, Expr]
+
+    def __call__(self, layers, env):
+        mn = jnp.stack([jnp.asarray(e(env), jnp.float32) for e in self.bb_min])
+        mx = jnp.stack([jnp.asarray(e(env), jnp.float32) for e in self.bb_max])
+        ins, out = F.filter_bounding_box(layers[self.input], mn, mx)
+        if self.inside:
+            layers[self.inside] = ins
+        if self.outside:
+            layers[self.outside] = out
+
+
+@dataclass(frozen=True)
+class AdjustTimestampsOp:
+    layer: str
+    method: str = "MiddleIsZero"
+    time_offset: Expr = field(default_factory=lambda: Expr("0"))
+
+    def __call__(self, layers, env):
+        if self.layer in layers:
+            layers[self.layer] = F.adjust_timestamps(
+                layers[self.layer], method=self.method, offset=self.time_offset(env)
+            )
+
+
+@dataclass(frozen=True)
+class DeskewOp:
+    input: str
+    output: str
+    skip: bool = False
+    twist_vars: Tuple[str, ...] = ("vx", "vy", "vz", "wx", "wy", "wz")
+
+    def __call__(self, layers, env):
+        tw = jnp.stack([jnp.asarray(env[v], jnp.float32) for v in self.twist_vars])
+        layers[self.output] = F.deskew(layers[self.input], tw, skip=self.skip)
+
+
+@dataclass(frozen=True)
+class DeleteOp:
+    layers_to_remove: Tuple[str, ...]
+
+    def __call__(self, layers, env):
+        for name in self.layers_to_remove:
+            layers.pop(name, None)
+
+
+@dataclass(frozen=True)
+class NormalizeIntensityOp:
+    layer: str
+
+    def __call__(self, layers, env):
+        layers[self.layer] = F.normalize_intensity(layers[self.layer])
+
+
+@dataclass(frozen=True)
+class ByIntensityOp:
+    input: str
+    output: str
+    low: Expr
+    high: Expr
+
+    def __call__(self, layers, env):
+        layers[self.output] = F.filter_by_intensity(
+            layers[self.input], self.low(env), self.high(env)
+        )
+
+
+@dataclass(frozen=True)
+class CurvatureOp:
+    input: str
+    output: str
+    max_cosine: float = 0.5
+    min_clearance: float = 0.02
+
+    def __call__(self, layers, env):
+        layers[self.output] = F.filter_curvature(
+            layers[self.input], max_cosine=self.max_cosine, min_clearance=self.min_clearance
+        )
+
+
+Pipeline = List[object]
+
+
+def apply_pipeline(pipeline: Pipeline, layers: Dict[str, PointCloud], env) -> Dict[str, PointCloud]:
+    layers = dict(layers)
+    for op in pipeline:
+        op(layers, env)
+    return layers
+
+
+def deskew_ops(pipeline: Pipeline) -> List[DeskewOp]:
+    return [op for op in pipeline if isinstance(op, DeskewOp)]
+
+
+# ---------------------------------------------------------------------------
+# YAML -> pipeline compilation
+# ---------------------------------------------------------------------------
+
+
+def _default_capacity(layer_name: str, capacities: Dict[str, int]) -> int:
+    if layer_name in capacities:
+        return capacities[layer_name]
+    return 8192 if "icp" in layer_name else 65536
+
+
+def build_pipeline(
+    yaml_list: Optional[Sequence[dict]],
+    capacities: Dict[str, int],
+) -> Pipeline:
+    """Compile a YAML filter list (``observations_filter_*`` block) to ops."""
+    out: Pipeline = []
+    if not yaml_list:
+        return out
+    for entry in yaml_list:
+        cls = as_str(entry.get("class_name", ""))
+        short = cls.split("::")[-1]
+        p = entry.get("params", {}) or {}
+        if short == "FilterDecimateVoxels":
+            dst = as_str(p["output_pointcloud_layer"])
+            out.append(
+                DecimateOp(
+                    input=as_str(p["input_pointcloud_layer"]),
+                    output=dst,
+                    resolution=as_expr(p["voxel_filter_resolution"]),
+                    out_capacity=_default_capacity(dst, capacities),
+                    method=as_str(p.get("decimate_method", "DecimateMethod::FirstPoint")).split("::")[-1],
+                    min_input_points=int(float(p.get("minimum_input_points_to_filter", 0) or 0)),
+                )
+            )
+        elif short == "FilterByRange":
+            out.append(
+                RangeOp(
+                    input=as_str(p["input_pointcloud_layer"]),
+                    between=as_str(p.get("output_layer_between", "")) or None,
+                    outside=as_str(p.get("output_layer_outside", "")) or None,
+                    range_min=as_expr(p.get("range_min", 0.0)),
+                    range_max=as_expr(p.get("range_max", 1e9)),
+                )
+            )
+        elif short == "FilterBoundingBox":
+            bbmin = tuple(as_expr(v) for v in p.get("bounding_box_min", [-1e9] * 3))
+            bbmax = tuple(as_expr(v) for v in p.get("bounding_box_max", [1e9] * 3))
+            out.append(
+                BBoxOp(
+                    input=as_str(p["input_pointcloud_layer"]),
+                    inside=as_str(p.get("inside_pointcloud_layer", "")) or None,
+                    outside=as_str(p.get("outside_pointcloud_layer", "")) or None,
+                    bb_min=bbmin,
+                    bb_max=bbmax,
+                )
+            )
+        elif short == "FilterAdjustTimestamps":
+            out.append(
+                AdjustTimestampsOp(
+                    layer=as_str(p["pointcloud_layer"]),
+                    method=as_str(p.get("method", "TimestampAdjustMethod::MiddleIsZero")).split("::")[-1],
+                    time_offset=as_expr(p.get("time_offset", 0.0)),
+                )
+            )
+        elif short == "FilterDeskew":
+            twist = p.get("twist", ["vx", "vy", "vz", "wx", "wy", "wz"])
+            out.append(
+                DeskewOp(
+                    input=as_str(p["input_pointcloud_layer"]),
+                    output=as_str(p["output_pointcloud_layer"]),
+                    skip=as_bool(p.get("skip_deskew"), default=False),
+                    twist_vars=tuple(as_str(v) for v in twist),
+                )
+            )
+        elif short == "FilterDeleteLayer":
+            rm = p.get("pointcloud_layer_to_remove", [])
+            if isinstance(rm, str):
+                rm = [rm]
+            out.append(DeleteOp(layers_to_remove=tuple(as_str(x) for x in rm)))
+        elif short == "FilterNormalizeIntensity":
+            out.append(NormalizeIntensityOp(layer=as_str(p["pointcloud_layer"])))
+        elif short == "FilterByIntensity":
+            out.append(
+                ByIntensityOp(
+                    input=as_str(p["input_pointcloud_layer"]),
+                    output=as_str(p.get("output_layer_between", p.get("output_pointcloud_layer", "filtered"))),
+                    low=as_expr(p.get("low_threshold", 0.0)),
+                    high=as_expr(p.get("high_threshold", 1.0)),
+                )
+            )
+        elif short == "FilterCurvature":
+            out.append(
+                CurvatureOp(
+                    input=as_str(p["input_pointcloud_layer"]),
+                    output=as_str(p.get("output_layer_larger_curvature", "edges")),
+                )
+            )
+        elif short == "FilterMerge":
+            # handled by the local-map update stage (models/step.py); the YAML
+            # block only names the source layer + target map layer.
+            continue
+        else:
+            raise ValueError(f"Unsupported filter class {cls!r}")
+    return out

@@ -1,0 +1,233 @@
+"""Host-side odometry orchestrator — the public ``LidarOdometry`` API.
+
+The thin host wrapper around the jitted scan step, mirroring the reference
+module's public surface (module/include/mola_lidar_odometry/LidarOdometry.h:
+72-625): ``initialize(yaml)``, ``on_lidar_scan(...)`` (the push entry point,
+cf. ``onNewObservation``), ``estimated_trajectory()``, ``reconstructed_map()``
+(simple-map), ``reset()``, active flag, trajectory/simple-map writers.
+
+Everything numeric lives on device in the step; this class only feeds padded
+scans, accumulates per-frame outputs, and materializes host products (TUM
+trajectory, simple-map keyframe list, debug traces).  GNSS observations are
+ring-buffered and attached to simple-map keyframes by timestamp proximity
+(reference LidarOdometry.cpp:1221-1235, 1392-1414).
+"""
+
+from __future__ import annotations
+
+import re
+import time as _time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import jax
+import numpy as np
+
+from mola_lidar_odometry_tpu.models import step as step_mod
+from mola_lidar_odometry_tpu.models.spec import OdometrySpec, spec_from_yaml
+from mola_lidar_odometry_tpu.models.step import Carry, Scan, StepOutput
+from mola_lidar_odometry_tpu.utils import tum
+from mola_lidar_odometry_tpu.utils.config import load_yaml_file, load_yaml_text
+from mola_lidar_odometry_tpu.utils.profiler import Profiler
+
+import jax.numpy as jnp
+
+
+@dataclass
+class SimpleMapKeyframe:
+    """A simple-map entry: pose + (optionally) the raw observation."""
+
+    stamp: float
+    t: np.ndarray  # (3,)
+    quat_xyzw: np.ndarray  # (4,)
+    twist: np.ndarray  # (6,)
+    scan_xyz: Optional[np.ndarray] = None  # None for non-KF pose-only entries
+    scan_path: Optional[str] = None  # set when externalized (lazy-load)
+    gnss: Optional[dict] = None
+
+
+class LidarOdometry:
+    """TPU LiDAR odometry instance (single vehicle; see parallel/ for fleets)."""
+
+    def __init__(self, spec: OdometrySpec):
+        self.spec = spec
+        self.profiler = Profiler(enabled=True)
+        self._step = jax.jit(step_mod.make_step(spec))
+        self.reset()
+        self.active = spec.start_active
+        self._fatal_error = False
+        self._label_regexes = [re.compile(s) for s in spec.lidar_sensor_labels]
+
+    # -- construction ------------------------------------------------------
+    @staticmethod
+    def from_yaml_file(path: Union[str, Path], env=None, **overrides) -> "LidarOdometry":
+        cfg = load_yaml_file(path, env=env)
+        return LidarOdometry(spec_from_yaml(cfg, **overrides))
+
+    @staticmethod
+    def from_yaml_text(text: str, env=None, **overrides) -> "LidarOdometry":
+        cfg = load_yaml_text(text, env=env)
+        return LidarOdometry(spec_from_yaml(cfg, **overrides))
+
+    # -- lifecycle ---------------------------------------------------------
+    def reset(self) -> None:
+        """Re-initialize all state from the spec (reference ``reset()``)."""
+        self.carry: Carry = step_mod.init_carry(self.spec)
+        self.trajectory: List[Dict[str, Any]] = []  # accepted poses
+        self.simplemap: List[SimpleMapKeyframe] = []
+        self.traces: List[Dict[str, float]] = []
+        self._gnss_buffer: List[dict] = []  # last N GNSS observations
+        self.frames_processed = 0
+        self.frames_dropped = 0
+
+    # -- observation dispatch (reference onNewObservation :503-603) --------
+    def matches_lidar_label(self, label: str) -> bool:
+        return any(r.fullmatch(label) or r.match(label) for r in self._label_regexes)
+
+    def on_gnss(self, stamp: float, data: dict) -> None:
+        self._gnss_buffer.append({"stamp": stamp, **data})
+        if len(self._gnss_buffer) > 100:
+            self._gnss_buffer.pop(0)
+
+    def on_lidar_scan(
+        self,
+        xyz: np.ndarray,
+        stamp: float,
+        times: Optional[np.ndarray] = None,
+        intensity: Optional[np.ndarray] = None,
+        ring: Optional[np.ndarray] = None,
+        keep_scan_for_simplemap: bool = True,
+    ) -> Optional[StepOutput]:
+        """Process one scan (numpy, sensor frame).  Returns the step output."""
+        if not self.active or self._fatal_error:
+            return None
+        try:
+            scan = self._pad_scan(xyz, stamp, times, intensity, ring)
+            with self.profiler.enter("onLidar"):
+                self.carry, out = self._step(self.carry, scan)
+            self._post_step(out, xyz if keep_scan_for_simplemap else None)
+            return out
+        except Exception:
+            # reference behavior: a worker exception sets a fatal flag and
+            # discards further input (LidarOdometry.cpp:614-619)
+            self._fatal_error = True
+            raise
+
+    # -- internals ---------------------------------------------------------
+    def _pad_scan(self, xyz, stamp, times, intensity, ring) -> Scan:
+        n_cap = self.spec.raw_capacity
+        n = min(len(xyz), n_cap)
+        pad = lambda a, dtype, fill=0: np.concatenate(
+            [np.asarray(a[:n], dtype=dtype), np.full(n_cap - n, fill, dtype=dtype)]
+        )
+        xyz_p = np.zeros((n_cap, 3), np.float32)
+        xyz_p[:n] = xyz[:n]
+        valid = np.zeros(n_cap, bool)
+        valid[:n] = np.all(np.isfinite(xyz[:n]), axis=1)
+        return Scan(
+            xyz=jnp.asarray(xyz_p),
+            time=jnp.asarray(pad(times if times is not None else np.zeros(n), np.float32)),
+            intensity=jnp.asarray(pad(intensity if intensity is not None else np.zeros(n), np.float32)),
+            ring=jnp.asarray(pad(ring if ring is not None else np.zeros(n), np.int32)),
+            valid=jnp.asarray(valid),
+            stamp=jnp.float32(stamp),
+        )
+
+    def _closest_gnss(self, stamp: float) -> Optional[dict]:
+        if not self._gnss_buffer:
+            return None
+        best = min(self._gnss_buffer, key=lambda g: abs(g["stamp"] - stamp))
+        if abs(best["stamp"] - stamp) <= self.spec.simplemap.save_gnss_max_age:
+            return best
+        return None
+
+    def _post_step(self, out: StepOutput, scan_xyz: Optional[np.ndarray]) -> None:
+        from mola_lidar_odometry_tpu.ops import se3
+
+        processed = bool(out.processed)
+        if not processed:
+            self.frames_dropped += 1
+            return
+        self.frames_processed += 1
+
+        if bool(out.map_restarted):
+            self.trajectory.clear()
+
+        if bool(out.accepted):
+            q = np.asarray(se3.rot_to_quat(out.pose_R))
+            entry = {
+                "stamp": float(out.stamp),
+                "t": np.asarray(out.pose_t, np.float64),
+                "quat_xyzw": q.astype(np.float64),
+            }
+            self.trajectory.append(entry)
+
+            if bool(out.sm_insert):
+                kf = SimpleMapKeyframe(
+                    stamp=float(out.stamp),
+                    t=entry["t"],
+                    quat_xyzw=entry["quat_xyzw"],
+                    twist=np.asarray(out.twist, np.float64),
+                    scan_xyz=scan_xyz if bool(out.kf_simplemap) else None,
+                    gnss=self._closest_gnss(float(out.stamp)),
+                )
+                self.simplemap.append(kf)
+
+        if self.spec.debug_traces_save:
+            self.traces.append(
+                {
+                    "stamp": float(out.stamp),
+                    "quality": float(out.quality),
+                    "sigma": float(out.sigma),
+                    "icp_iterations": int(out.iterations),
+                    "twist_corrections": int(out.corrections),
+                    "est_sensor_range": float(out.est_range),
+                    "n_raw": int(out.n_raw),
+                    "n_icp": int(out.n_icp_layer),
+                    "accepted": int(bool(out.accepted)),
+                    "kf_local": int(bool(out.kf_local)),
+                }
+            )
+
+    # -- outputs (reference :1425-1435, 1865-1904) -------------------------
+    def estimated_trajectory(self) -> Dict[str, np.ndarray]:
+        if not self.trajectory:
+            return {"stamps": np.zeros(0), "t": np.zeros((0, 3)), "quat_xyzw": np.zeros((0, 4))}
+        return {
+            "stamps": np.asarray([e["stamp"] for e in self.trajectory]),
+            "t": np.stack([e["t"] for e in self.trajectory]),
+            "quat_xyzw": np.stack([e["quat_xyzw"] for e in self.trajectory]),
+        }
+
+    def save_trajectory_tum(self, path: Union[str, Path]) -> None:
+        tr = self.estimated_trajectory()
+        tum.save_tum(path, tr["stamps"], tr["t"], tr["quat_xyzw"])
+
+    def reconstructed_map(self) -> List[SimpleMapKeyframe]:
+        return self.simplemap
+
+    def save_simplemap(self, path: Union[str, Path]) -> None:
+        from mola_lidar_odometry_tpu.utils.serialization import save_simplemap
+
+        save_simplemap(path, self.simplemap, lazy_load=self.spec.simplemap.generate_lazy_load_scan_files)
+
+    def local_map_pointcloud(self, capacity: int = 1 << 20) -> np.ndarray:
+        """Materialize the live local map as an (N, 3) numpy array."""
+        from mola_lidar_odometry_tpu.ops import voxel_hash as vh
+
+        pc = vh.as_pointcloud(self.carry.map, capacity)
+        v = np.asarray(pc.valid)
+        return np.asarray(pc.xyz)[v]
+
+    def save_debug_traces(self, path: Union[str, Path]) -> None:
+        if not self.traces:
+            return
+        keys = list(self.traces[0].keys())
+        with open(path, "w") as f:
+            f.write(",".join(keys) + "\n")
+            for row in self.traces:
+                f.write(",".join(str(row[k]) for k in keys) + "\n")
+
+    def is_busy(self) -> bool:
+        return False  # synchronous host API; the async runtime lives in utils/runtime.py

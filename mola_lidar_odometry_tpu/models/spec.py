@@ -1,0 +1,343 @@
+"""Odometry pipeline specification: YAML -> static, trace-time config.
+
+Mirrors the reference's ``Parameters`` block tree and pipeline construction
+(reference module/include/mola_lidar_odometry/LidarOdometry.h:109-394,
+loaders module/src/LidarOdometry.cpp:125-483; YAML layout
+pipelines/lidar3d-default.yaml).  Numeric fields that the reference declares
+as Parameterizable expressions stay :class:`Expr` here and are evaluated per
+frame on traced scalars.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+from mola_lidar_odometry_tpu.models.filter_graph import Pipeline, build_pipeline
+from mola_lidar_odometry_tpu.models.navstate import NavStateConfig
+from mola_lidar_odometry_tpu.ops.icp import IcpConfig
+from mola_lidar_odometry_tpu.utils.config import as_bool, as_float, as_str
+from mola_lidar_odometry_tpu.utils.expr import Expr, as_expr
+
+
+@dataclass(frozen=True)
+class AdaptiveThresholdCfg:
+    """KISS-ICP adaptive sigma (reference LidarOdometry.h:252-263)."""
+
+    enabled: bool = True
+    initial_sigma: float = 2.0
+    min_motion: float = 0.1
+    maximum_sigma: float = 3.0
+    kp: float = 2.0
+    alpha: float = 0.9
+
+
+@dataclass(frozen=True)
+class LocalMapUpdatesCfg:
+    enabled: bool = True
+    min_translation_between_keyframes: Expr = field(default_factory=lambda: Expr("0"))
+    min_rotation_between_keyframes_deg: Expr = field(default_factory=lambda: Expr("0"))
+    max_distance_to_keep_keyframes: Expr = field(default_factory=lambda: Expr("0"))
+    check_for_removal_every_n: int = 100
+    measure_from_last_kf_only: bool = False
+    load_existing_local_map: str = ""
+
+
+@dataclass(frozen=True)
+class SimpleMapCfg:
+    generate: bool = False
+    min_translation_between_keyframes: Expr = field(default_factory=lambda: Expr("1"))
+    min_rotation_between_keyframes_deg: Expr = field(default_factory=lambda: Expr("15"))
+    add_non_keyframes_too: bool = False
+    measure_from_last_kf_only: bool = False
+    save_gnss_max_age: float = 1.0
+    generate_lazy_load_scan_files: bool = False
+    save_final_map_to_file: str = "final_map.simplemap"
+    load_existing_simple_map: str = ""
+
+
+@dataclass(frozen=True)
+class MapDef:
+    """Local-map definition (HashedVoxelPointCloud family).
+
+    ``num_slots`` is TPU-specific (fixed hash-table capacity); the rest maps
+     1:1 to the YAML ``metric_map_definition`` (lidar3d-default.yaml:228-242).
+    """
+
+    map_class: str = "HashedVoxelPointCloud"
+    num_slots: int = 1 << 18
+    points_per_voxel: int = 20
+    voxel_size: Expr = field(default_factory=lambda: Expr("1.0"))
+    remove_voxels_farther_than: Expr = field(default_factory=lambda: Expr("0"))
+    min_distance_between_points: float = 0.0
+    target_layer: str = "localmap"
+
+
+@dataclass(frozen=True)
+class ObservationValidityCfg:
+    enabled: bool = False
+    check_layer_name: str = "raw"
+    minimum_point_count: int = 1000
+
+
+@dataclass(frozen=True)
+class InitialLocalizationCfg:
+    enabled: bool = False
+    fixed_initial_pose: Tuple[float, ...] = (0.0,) * 6  # x y z yaw pitch roll
+
+
+@dataclass(frozen=True)
+class OdometrySpec:
+    """Everything needed to build the jitted scan step."""
+
+    # capacities (TPU static shapes)
+    raw_capacity: int = 1 << 17
+    layer_capacities: Dict[str, int] = field(default_factory=dict)
+
+    # pipelines
+    adjust_pipeline: Pipeline = field(default_factory=list)
+    filter1: Pipeline = field(default_factory=list)
+    filter2: Pipeline = field(default_factory=list)
+    filter_final: Pipeline = field(default_factory=list)
+
+    # ICP
+    icp_with_vel: IcpConfig = field(default_factory=IcpConfig)
+    icp_without_vel: IcpConfig = field(default_factory=IcpConfig)
+    icp_local_layer: str = "decimated_for_icp"
+
+    # local map
+    map_def: MapDef = field(default_factory=MapDef)
+    map_insert_layer: str = "decimated_for_map"
+    local_map_updates: LocalMapUpdatesCfg = field(default_factory=LocalMapUpdatesCfg)
+
+    # state / gating
+    navstate: NavStateConfig = field(default_factory=NavStateConfig)
+    adaptive_threshold: AdaptiveThresholdCfg = field(default_factory=AdaptiveThresholdCfg)
+    min_icp_goodness: float = 0.25
+    absolute_minimum_sensor_range: float = 5.0
+    max_sensor_range_filter_coefficient: float = 0.95
+    min_time_between_scans: float = 1e-3
+    optimize_twist: bool = True
+    optimize_twist_max_corrections: int = 8
+    optimize_twist_rerun_min_trans: float = 0.15
+    optimize_twist_rerun_min_rot_deg: float = 0.75
+
+    simplemap: SimpleMapCfg = field(default_factory=SimpleMapCfg)
+    observation_validity: ObservationValidityCfg = field(default_factory=ObservationValidityCfg)
+    initial_localization: InitialLocalizationCfg = field(default_factory=InitialLocalizationCfg)
+
+    # KF ring capacities
+    kf_ring_capacity: int = 512
+
+    # host-side dispatch / IO options (reference Parameters top block)
+    lidar_sensor_labels: Tuple[str, ...] = ("lidar",)
+    imu_sensor_label: str = "imu"
+    wheel_odometry_sensor_label: str = "odometry"
+    gnss_sensor_label: str = "gps"
+    multiple_lidar_count: int = 1
+    multiple_lidar_max_time_offset: float = 0.1
+    save_trajectory: bool = False
+    trajectory_output_file: str = "estimated_trajectory.tum"
+    debug_traces_save: bool = False
+    debug_traces_file: str = "mola-lo-traces.csv"
+    start_active: bool = True
+
+
+def _icp_from_yaml(block: dict, spec_hook: Tuple[float, float]) -> Tuple[IcpConfig, str, str]:
+    """Parse an ``icp_settings_*`` YAML block.
+
+    Returns (IcpConfig, local_layer, global_layer) from the first matcher's
+    pointLayerMatches.
+    """
+    p = block.get("params", {}) or {}
+    solvers = block.get("solvers", []) or []
+    matchers = block.get("matchers", []) or []
+
+    gn = {}
+    for s in solvers:
+        if "GaussNewton" in as_str(s.get("class", "")):
+            gn = s.get("params", {}) or {}
+    kernel = gn.get("robustKernelParam", "0.5*ADAPTIVE_THRESHOLD_SIGMA")
+
+    threshold = "2.0*ADAPTIVE_THRESHOLD_SIGMA"
+    local_layer, global_layer = "decimated_for_icp", "localmap"
+    for m in matchers:
+        cls = as_str(m.get("class", ""))
+        mp = m.get("params", {}) or {}
+        if "Matcher_Points_DistanceThreshold" in cls or "Matcher_Point2Plane" in cls:
+            threshold = mp.get("threshold", threshold)
+            plm = mp.get("pointLayerMatches") or []
+            if plm:
+                local_layer = as_str(plm[0].get("local", local_layer))
+                global_layer = as_str(plm[0].get("global", global_layer))
+            break
+
+    hook_trans, hook_rot = spec_hook
+    cfg = IcpConfig(
+        max_iterations=int(float(p.get("maxIterations", 300))),
+        min_abs_step_trans=as_float(p.get("minAbsStep_trans"), 1e-4),
+        min_abs_step_rot=as_float(p.get("minAbsStep_rot"), 5e-5),
+        threshold=as_expr(threshold),
+        kernel_param=as_expr(kernel),
+        gn_inner_iterations=int(float(gn.get("maxIterations", 2))),
+        hook_min_trans=hook_trans,
+        hook_min_rot=hook_rot,
+    )
+    return cfg, local_layer, global_layer
+
+
+def _map_def_from_yaml(gen_list, num_slots: int) -> MapDef:
+    if not gen_list:
+        return MapDef(num_slots=num_slots)
+    params = (gen_list[0] or {}).get("params", {}) or {}
+    md = params.get("metric_map_definition", {}) or {}
+    cls = as_str(md.get("class", "mola::HashedVoxelPointCloud")).split("::")[-1]
+    creation = md.get("creationOpts", {}) or {}
+    ins = md.get("insertOpts", {}) or {}
+    return MapDef(
+        map_class=cls,
+        num_slots=num_slots,
+        points_per_voxel=int(float(ins.get("max_points_per_voxel", 20))),
+        voxel_size=as_expr(creation.get("voxel_size", 1.0)),
+        remove_voxels_farther_than=as_expr(ins.get("remove_voxels_farther_than", 0.0)),
+        min_distance_between_points=as_float(ins.get("min_distance_between_points"), 0.0),
+        target_layer=as_str(params.get("target_layer", "localmap")),
+    )
+
+
+def spec_from_yaml(cfg: dict, **overrides) -> OdometrySpec:
+    """Build an :class:`OdometrySpec` from a loaded pipeline YAML dict.
+
+    ``overrides`` replaces top-level spec fields (CLI flags beat YAML, like
+    the reference's apps/mola-lidar-odometry-cli.cpp:391-399).
+    """
+    params = cfg.get("params", {}) or {}
+
+    raw_capacity = int(overrides.pop("raw_capacity", os.environ.get("MOLA_TPU_RAW_CAPACITY", 1 << 17)))
+    num_slots = int(overrides.pop("map_slots", os.environ.get("MOLA_TPU_MAP_SLOTS", 1 << 18)))
+    layer_capacities = dict(overrides.pop("layer_capacities", {}))
+    layer_capacities.setdefault("raw", raw_capacity)
+
+    hook_enabled = as_bool(params.get("optimize_twist"), default=True)
+    hook_trans = as_float(params.get("optimize_twist_rerun_min_trans"), 0.15)
+    hook_rot_deg = as_float(params.get("optimize_twist_rerun_min_rot_deg"), 0.75)
+    import math
+
+    hook = (hook_trans, math.radians(hook_rot_deg)) if hook_enabled else (0.0, 0.0)
+
+    icp_with, local_layer, _ = _icp_from_yaml(cfg.get("icp_settings_with_vel", {}) or {}, hook)
+    without_block = cfg.get("icp_settings_without_vel")
+    if without_block:
+        icp_without, _, _ = _icp_from_yaml(without_block, hook)
+    else:
+        icp_without = icp_with  # reference default: same as with_vel
+
+    lm = params.get("local_map_updates", {}) or {}
+    sm = params.get("simplemap", {}) or {}
+    at = params.get("adaptive_threshold", {}) or {}
+    ml = params.get("multiple_lidars", {}) or {}
+    ovc = params.get("observation_validity_checks", {}) or {}
+    est_traj = params.get("estimated_trajectory", {}) or {}
+    traces = params.get("debug_traces", {}) or {}
+    init_loc = cfg.get("initial_localization", {}) or {}
+
+    # filter pipelines
+    adjust = build_pipeline(cfg.get("observations_filter_adjust_timestamps"), layer_capacities)
+    f1 = build_pipeline(cfg.get("observations_filter_1st_pass"), layer_capacities)
+    f2 = build_pipeline(cfg.get("observations_filter_2nd_pass"), layer_capacities)
+    ff = build_pipeline(cfg.get("observations_filter_final_pass"), layer_capacities)
+
+    # map-insert source layer from insert_observation_into_local_map FilterMerge
+    map_insert_layer = "decimated_for_map"
+    for entry in cfg.get("insert_observation_into_local_map", []) or []:
+        if "FilterMerge" in as_str(entry.get("class_name", "")):
+            map_insert_layer = as_str(entry["params"]["input_pointcloud_layer"])
+
+    labels = params.get("lidar_sensor_labels", ["lidar"])
+    if isinstance(labels, str):
+        labels = [labels]
+
+    fixed_pose = tuple(
+        float(as_float(x)) for x in init_loc.get("fixed_initial_pose", [0.0] * 6)
+    )
+
+    spec = OdometrySpec(
+        raw_capacity=raw_capacity,
+        layer_capacities=layer_capacities,
+        adjust_pipeline=adjust,
+        filter1=f1,
+        filter2=f2,
+        filter_final=ff,
+        icp_with_vel=icp_with,
+        icp_without_vel=icp_without,
+        icp_local_layer=local_layer,
+        map_def=_map_def_from_yaml(cfg.get("localmap_generator"), num_slots),
+        map_insert_layer=map_insert_layer,
+        local_map_updates=LocalMapUpdatesCfg(
+            enabled=as_bool(lm.get("enabled"), default=True),
+            min_translation_between_keyframes=as_expr(lm.get("min_translation_between_keyframes", 0.0)),
+            min_rotation_between_keyframes_deg=as_expr(lm.get("min_rotation_between_keyframes", 0.0)),
+            max_distance_to_keep_keyframes=as_expr(lm.get("max_distance_to_keep_keyframes", 0.0)),
+            check_for_removal_every_n=int(float(lm.get("check_for_removal_every_n", 100))),
+            measure_from_last_kf_only=as_bool(lm.get("measure_from_last_kf_only"), default=False),
+            load_existing_local_map=as_str(lm.get("load_existing_local_map", "")),
+        ),
+        navstate=NavStateConfig.from_yaml(cfg.get("navstate_fuse_params", {}) or {}),
+        adaptive_threshold=AdaptiveThresholdCfg(
+            enabled=as_bool(at.get("enabled"), default=True),
+            initial_sigma=as_float(at.get("initial_sigma"), 2.0),
+            min_motion=as_float(at.get("min_motion"), 0.1),
+            maximum_sigma=as_float(at.get("maximum_sigma"), 3.0),
+            kp=as_float(at.get("kp"), 2.0),
+            alpha=as_float(at.get("alpha"), 0.9),
+        ),
+        min_icp_goodness=as_float(params.get("min_icp_goodness"), 0.25),
+        absolute_minimum_sensor_range=as_float(params.get("absolute_minimum_sensor_range"), 5.0),
+        max_sensor_range_filter_coefficient=as_float(
+            params.get("max_sensor_range_filter_coefficient"), 0.95
+        ),
+        min_time_between_scans=as_float(params.get("min_time_between_scans"), 1e-3),
+        optimize_twist=hook_enabled,
+        optimize_twist_max_corrections=int(float(params.get("optimize_twist_max_corrections", 8))),
+        optimize_twist_rerun_min_trans=hook_trans,
+        optimize_twist_rerun_min_rot_deg=hook_rot_deg,
+        simplemap=SimpleMapCfg(
+            generate=as_bool(sm.get("generate"), default=False),
+            min_translation_between_keyframes=as_expr(sm.get("min_translation_between_keyframes", 1.0)),
+            min_rotation_between_keyframes_deg=as_expr(sm.get("min_rotation_between_keyframes", 15.0)),
+            add_non_keyframes_too=as_bool(sm.get("add_non_keyframes_too"), default=False),
+            measure_from_last_kf_only=as_bool(sm.get("measure_from_last_kf_only"), default=False),
+            save_gnss_max_age=as_float(sm.get("save_gnss_max_age"), 1.0),
+            generate_lazy_load_scan_files=as_bool(
+                sm.get("generate_lazy_load_scan_files"), default=False
+            ),
+            save_final_map_to_file=as_str(sm.get("save_final_map_to_file", "final_map.simplemap")),
+            load_existing_simple_map=as_str(sm.get("load_existing_simple_map", "")),
+        ),
+        observation_validity=ObservationValidityCfg(
+            enabled=as_bool(ovc.get("enabled"), default=False),
+            check_layer_name=as_str(ovc.get("check_layer_name", "raw")),
+            minimum_point_count=int(float(ovc.get("minimum_point_count", 1000))),
+        ),
+        initial_localization=InitialLocalizationCfg(
+            enabled=as_bool(init_loc.get("enabled"), default=False),
+            fixed_initial_pose=fixed_pose,
+        ),
+        lidar_sensor_labels=tuple(as_str(x) for x in labels),
+        imu_sensor_label=as_str(params.get("imu_sensor_label", "imu")),
+        wheel_odometry_sensor_label=as_str(params.get("wheel_odometry_sensor_label", "odometry")),
+        gnss_sensor_label=as_str(params.get("gnss_sensor_label", "gps")),
+        multiple_lidar_count=int(float(ml.get("lidar_count", 1))),
+        multiple_lidar_max_time_offset=as_float(ml.get("max_time_offset"), 0.1),
+        save_trajectory=as_bool(est_traj.get("save_to_file"), default=False),
+        trajectory_output_file=as_str(est_traj.get("output_file", "estimated_trajectory.tum")),
+        debug_traces_save=as_bool(traces.get("save_to_file"), default=False),
+        debug_traces_file=as_str(traces.get("output_file", "mola-lo-traces.csv")),
+        start_active=as_bool(params.get("start_active"), default=True),
+    )
+    if overrides:
+        from dataclasses import replace
+
+        spec = replace(spec, **overrides)
+    return spec

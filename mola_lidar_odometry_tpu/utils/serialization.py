@@ -1,0 +1,103 @@
+"""Map and simple-map serialization.
+
+The reference persists two artifacts (module/src/LidarOdometry.cpp:466-470,
+1865-1904, lazy-load externalization :2151-2214):
+
+  * ``.mm``        — the metric map (local voxel map layers)
+  * ``.simplemap`` — keyframed trajectory + raw observations, optionally with
+    point clouds externalized to ``<name>_Images/*.bin`` files for lazy load
+
+Here both are portable ``.npz`` containers (``*.mm.npz`` /
+``*.simplemap.npz``) with the same content model: self-describing, loadable
+for multi-session mapping ("resume") and localization-only runs.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Union
+
+import numpy as np
+
+
+def save_metric_map(path: Union[str, Path], voxel_map) -> None:
+    """Persist a VoxelHashMap (the '.mm' analogue)."""
+    np.savez_compressed(
+        str(path),
+        kind="HashedVoxelPointCloud",
+        voxel_size=np.asarray(voxel_map.voxel_size),
+        keys=np.asarray(voxel_map.keys),
+        count=np.asarray(voxel_map.count),
+        pts=np.asarray(voxel_map.pts),
+    )
+
+
+def load_metric_map(path: Union[str, Path]):
+    from mola_lidar_odometry_tpu.ops.voxel_hash import VoxelHashMap
+    import jax.numpy as jnp
+
+    d = np.load(str(path), allow_pickle=False)
+    return VoxelHashMap(
+        voxel_size=jnp.asarray(d["voxel_size"]),
+        keys=jnp.asarray(d["keys"]),
+        count=jnp.asarray(d["count"]),
+        pts=jnp.asarray(d["pts"]),
+    )
+
+
+def save_simplemap(path: Union[str, Path], keyframes: List, lazy_load: bool = False) -> None:
+    path = Path(path)
+    arrays = {}
+    meta = []
+    ext_dir = path.parent / (path.stem + "_Images")
+    if lazy_load:
+        ext_dir.mkdir(exist_ok=True)
+    for i, kf in enumerate(keyframes):
+        entry = {
+            "stamp": kf.stamp,
+            "t": kf.t.tolist(),
+            "quat_xyzw": kf.quat_xyzw.tolist(),
+            "twist": kf.twist.tolist(),
+            "has_scan": kf.scan_xyz is not None,
+            "gnss": kf.gnss or {},
+        }
+        if kf.scan_xyz is not None:
+            if lazy_load:
+                ext = ext_dir / f"scan_{i:06d}.bin"
+                kf.scan_xyz.astype(np.float32).tofile(ext)
+                entry["scan_path"] = str(ext)
+            else:
+                arrays[f"scan_{i:06d}"] = kf.scan_xyz.astype(np.float32)
+        meta.append(entry)
+    import json
+
+    np.savez_compressed(str(path), meta=json.dumps(meta), **arrays)
+
+
+def load_simplemap(path: Union[str, Path]) -> List:
+    from mola_lidar_odometry_tpu.models.odometry import SimpleMapKeyframe
+    import json
+
+    d = np.load(str(path), allow_pickle=False)
+    meta = json.loads(str(d["meta"]))
+    out = []
+    for i, e in enumerate(meta):
+        scan = None
+        key = f"scan_{i:06d}"
+        if e.get("has_scan"):
+            if key in d:
+                scan = d[key]
+            elif e.get("scan_path") and Path(e["scan_path"]).exists():
+                scan = np.fromfile(e["scan_path"], np.float32).reshape(-1, 3)
+        out.append(
+            SimpleMapKeyframe(
+                stamp=e["stamp"],
+                t=np.asarray(e["t"]),
+                quat_xyzw=np.asarray(e["quat_xyzw"]),
+                twist=np.asarray(e["twist"]),
+                scan_xyz=scan,
+                scan_path=e.get("scan_path"),
+                gnss=e.get("gnss") or None,
+            )
+        )
+    return out
