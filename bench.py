@@ -1,0 +1,144 @@
+"""Throughput benchmark: batched LiDAR-odometry scans/sec on one chip.
+
+Runs a fleet of vmapped odometry instances (lidar3d-default pipeline,
+KITTI-like 64-ring x 2048-azimuth synthetic scans).  The whole sequence is
+processed by ONE ``lax.scan``-over-steps dispatch (host<->device latency
+through the TPU tunnel is ~0.5s/call, and production offline replay is a
+device-resident scan loop anyway — SURVEY.md §7).  Reports scans/sec/chip
+against the 2000 scans/s/chip target from BASELINE.md.  Prints exactly ONE
+JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+BATCH = int(os.environ.get("MOLA_BENCH_BATCH", 8))
+N_SCANS = int(os.environ.get("MOLA_BENCH_SCANS", 10))
+REPEATS = int(os.environ.get("MOLA_BENCH_REPEATS", 3))
+RAW_CAP = 1 << 17
+CACHE = os.path.join(HERE, ".bench_cache.npz")
+
+
+def gen_scans():
+    if os.path.exists(CACHE):
+        d = np.load(CACHE)
+        return [
+            (d[f"x{k}"], d[f"t{k}"], d[f"r{k}"], d[f"v{k}"]) for k in range(N_SCANS)
+        ], d["stamps"]
+    from mola_lidar_odometry_tpu.utils import sim
+
+    log("generating synthetic KITTI-like scans (cached afterwards)...")
+    world = sim.make_world(0, extent=60.0, n_boxes=100, n_plates=50)
+    traj = sim.make_trajectory(N_SCANS, dt=0.1, seed=1, speed=8.0)
+    scans = []
+    for k in range(N_SCANS):
+        scans.append(
+            sim.simulate_scan(
+                world, traj.R[k], traj.t[k], traj.twists[k],
+                n_rings=64, n_azimuth=2048, fov_up_deg=3.0, fov_down_deg=-24.0,
+                spin_period=0.1, noise=0.01, max_range=80.0, seed=1000 + k,
+            )
+        )
+    np.savez_compressed(
+        CACHE,
+        stamps=traj.stamps.astype(np.float32),
+        **{f"x{k}": s[0] for k, s in enumerate(scans)},
+        **{f"t{k}": s[1] for k, s in enumerate(scans)},
+        **{f"r{k}": s[2] for k, s in enumerate(scans)},
+        **{f"v{k}": s[3] for k, s in enumerate(scans)},
+    )
+    return scans, traj.stamps.astype(np.float32)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(HERE, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    import jax.numpy as jnp
+
+    from mola_lidar_odometry_tpu.models.spec import spec_from_yaml
+    from mola_lidar_odometry_tpu.models import step as step_mod
+    from mola_lidar_odometry_tpu.parallel import batch as pb
+    from mola_lidar_odometry_tpu.utils.config import load_yaml_file
+
+    scans, stamps = gen_scans()
+    log(f"device: {jax.devices()[0]}  batch={BATCH}  scans={N_SCANS}")
+
+    cfg = load_yaml_file(os.path.join(HERE, "pipelines", "lidar3d-default.yaml"), env={})
+    spec = spec_from_yaml(
+        cfg,
+        raw_capacity=RAW_CAP,
+        map_slots=1 << 17,
+        layer_capacities={
+            "raw": RAW_CAP,
+            "decimated_for_map_raw": 1 << 16,
+            "decimated_for_icp_skewed": 1 << 13,
+            "decimated_for_icp": 1 << 13,
+            "decimated_for_map": 1 << 16,
+        },
+        kf_ring_capacity=256,
+    )
+
+    fstep = pb.make_fleet_step(spec)
+
+    # device-resident sequence: (T, B, ...) pytree, replicated across the fleet
+    per_step = [pb.pack_scans(spec, [s] * BATCH, [stamps[k]] * BATCH) for k, s in enumerate(scans)]
+    seq = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_step)
+    seq = jax.device_put(seq)
+
+    @jax.jit
+    def run_seq(carry, seq):
+        carry, outs = jax.lax.scan(fstep, carry, seq)
+        return carry, (outs.quality, outs.iterations, outs.accepted)
+
+    carry0 = pb.init_fleet_carry(spec, BATCH)
+    t0 = time.time()
+    _, (q, iters, acc) = run_seq(carry0, seq)
+    jax.block_until_ready(q)
+    log(f"compile+first sequence: {time.time() - t0:.1f}s")
+
+    best = np.inf
+    for r in range(REPEATS):
+        t0 = time.time()
+        _, (q, iters, acc) = run_seq(pb.init_fleet_carry(spec, BATCH), seq)
+        jax.block_until_ready(q)
+        best = min(best, time.time() - t0)
+        log(f"run {r}: {time.time() - t0:.2f}s")
+
+    total_scans = BATCH * N_SCANS
+    scans_per_sec = total_scans / best
+    iters_sum = int(np.asarray(iters).sum())
+    log(
+        f"best: {best:.2f}s for {total_scans} scans -> {scans_per_sec:.1f} scans/s/chip; "
+        f"{iters_sum / best:.0f} ICP iters/s; mean q(frames>0)={float(np.asarray(q)[1:].mean()):.3f}; "
+        f"accepted={int(np.asarray(acc).sum())}/{total_scans}"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "KITTI-like scans/sec/chip (batched lidar3d-default)",
+                "value": round(scans_per_sec, 2),
+                "unit": "scans/s/chip",
+                "vs_baseline": round(scans_per_sec / 2000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
