@@ -212,13 +212,29 @@ class LidarOdometry:
 
         save_simplemap(path, self.simplemap, lazy_load=self.spec.simplemap.generate_lazy_load_scan_files)
 
-    def local_map_pointcloud(self, capacity: int = 1 << 20) -> np.ndarray:
-        """Materialize the live local map as an (N, 3) numpy array."""
-        from mola_lidar_odometry_tpu.ops import voxel_hash as vh
+    def local_map_pointcloud(
+        self, capacity: int = 1 << 20, layer: Optional[str] = None
+    ) -> np.ndarray:
+        """Materialize a live local-map layer as an (N, 3) numpy array."""
+        from mola_lidar_odometry_tpu.ops import maps as maps_ops
 
-        pc = vh.as_pointcloud(self.carry.map, capacity)
+        name = layer or self.spec.map_layers[0].name
+        pc = maps_ops.as_pointcloud(self.carry.maps[name], capacity)
         v = np.asarray(pc.valid)
         return np.asarray(pc.xyz)[v]
+
+    def save_local_map(self, path: Union[str, Path]) -> None:
+        """Persist all local-map layers (the '.mm' analogue)."""
+        from mola_lidar_odometry_tpu.utils.serialization import save_metric_map
+
+        save_metric_map(path, self.carry.maps)
+
+    def load_local_map(self, path: Union[str, Path]) -> None:
+        """Preload an existing local map (multi-session / localization-only,
+        reference LidarOdometry.cpp:465-476)."""
+        from mola_lidar_odometry_tpu.utils.serialization import load_metric_map
+
+        self.carry = self.carry._replace(maps=load_metric_map(path))
 
     def save_debug_traces(self, path: Union[str, Path]) -> None:
         if not self.traces:

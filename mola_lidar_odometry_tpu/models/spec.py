@@ -16,7 +16,8 @@ from typing import Dict, Optional, Tuple
 
 from mola_lidar_odometry_tpu.models.filter_graph import Pipeline, build_pipeline
 from mola_lidar_odometry_tpu.models.navstate import NavStateConfig
-from mola_lidar_odometry_tpu.ops.icp import IcpConfig
+from mola_lidar_odometry_tpu.ops.icp import HornCfg, IcpConfig, MatcherCfg
+from mola_lidar_odometry_tpu.ops.maps import MapLayerDef, map_def_from_yaml
 from mola_lidar_odometry_tpu.utils.config import as_bool, as_float, as_str
 from mola_lidar_odometry_tpu.utils.expr import Expr, as_expr
 
@@ -58,20 +59,13 @@ class SimpleMapCfg:
 
 
 @dataclass(frozen=True)
-class MapDef:
-    """Local-map definition (HashedVoxelPointCloud family).
+class MapInsertOp:
+    """One FilterMerge entry of ``insert_observation_into_local_map``
+    (reference pipelines/lidar3d-default.yaml:362-368): transform the named
+    observation layer by the robot pose and insert it into a map layer."""
 
-    ``num_slots`` is TPU-specific (fixed hash-table capacity); the rest maps
-     1:1 to the YAML ``metric_map_definition`` (lidar3d-default.yaml:228-242).
-    """
-
-    map_class: str = "HashedVoxelPointCloud"
-    num_slots: int = 1 << 18
-    points_per_voxel: int = 20
-    voxel_size: Expr = field(default_factory=lambda: Expr("1.0"))
-    remove_voxels_farther_than: Expr = field(default_factory=lambda: Expr("0"))
-    min_distance_between_points: float = 0.0
-    target_layer: str = "localmap"
+    input_layer: str
+    target_map_layer: str
 
 
 @dataclass(frozen=True)
@@ -106,10 +100,17 @@ class OdometrySpec:
     icp_without_vel: IcpConfig = field(default_factory=IcpConfig)
     icp_local_layer: str = "decimated_for_icp"
 
-    # local map
-    map_def: MapDef = field(default_factory=MapDef)
-    map_insert_layer: str = "decimated_for_map"
+    # local map: named layers + insert graph
+    map_layers: Tuple[MapLayerDef, ...] = field(
+        default_factory=lambda: (MapLayerDef(),)
+    )
+    map_inserts: Tuple[MapInsertOp, ...] = field(
+        default_factory=lambda: (MapInsertOp("decimated_for_map", "localmap"),)
+    )
     local_map_updates: LocalMapUpdatesCfg = field(default_factory=LocalMapUpdatesCfg)
+    # SE(2) pinning: pin z/pitch/roll with 1e6 information (the reference does
+    # this whenever the observation is a 2D scan, LidarOdometry.cpp:863-876)
+    pin_se2: bool = False
 
     # state / gating
     navstate: NavStateConfig = field(default_factory=NavStateConfig)
@@ -144,66 +145,95 @@ class OdometrySpec:
     start_active: bool = True
 
 
-def _icp_from_yaml(block: dict, spec_hook: Tuple[float, float]) -> Tuple[IcpConfig, str, str]:
-    """Parse an ``icp_settings_*`` YAML block.
+def _icp_from_yaml(block: dict, spec_hook: Tuple[float, float]) -> Tuple[IcpConfig, str]:
+    """Parse an ``icp_settings_*`` YAML block (matchers, solvers, params).
 
-    Returns (IcpConfig, local_layer, global_layer) from the first matcher's
-    pointLayerMatches.
+    Returns (IcpConfig, primary_local_layer) — the primary local layer (first
+    matcher's) drives the sensor-range estimate and point-count stats.
     """
     p = block.get("params", {}) or {}
     solvers = block.get("solvers", []) or []
     matchers = block.get("matchers", []) or []
 
-    gn = {}
+    gn: dict = {}
+    horn: Optional[HornCfg] = None
     for s in solvers:
-        if "GaussNewton" in as_str(s.get("class", "")):
-            gn = s.get("params", {}) or {}
+        cls = as_str(s.get("class", ""))
+        sp = s.get("params", {}) or {}
+        if "GaussNewton" in cls:
+            gn = sp
+        elif "Horn" in cls and as_bool(sp.get("enabled"), default=True):
+            horn = HornCfg(
+                run_until_translation_correction_smaller_than=as_float(
+                    sp.get("runUntilTranslationCorrectionSmallerThan"), 5e-4
+                )
+            )
     kernel = gn.get("robustKernelParam", "0.5*ADAPTIVE_THRESHOLD_SIGMA")
 
-    threshold = "2.0*ADAPTIVE_THRESHOLD_SIGMA"
-    local_layer, global_layer = "decimated_for_icp", "localmap"
+    mcfgs = []
     for m in matchers:
         cls = as_str(m.get("class", ""))
         mp = m.get("params", {}) or {}
-        if "Matcher_Points_DistanceThreshold" in cls or "Matcher_Point2Plane" in cls:
-            threshold = mp.get("threshold", threshold)
-            plm = mp.get("pointLayerMatches") or []
-            if plm:
-                local_layer = as_str(plm[0].get("local", local_layer))
-                global_layer = as_str(plm[0].get("global", global_layer))
-            break
+        if not as_bool(mp.get("enabled"), default=True):
+            continue
+        if "Matcher_Point2Plane" in cls:
+            kind = "point2plane"
+            thr = mp.get("distanceThreshold", "1.0*ADAPTIVE_THRESHOLD_SIGMA")
+        elif "Matcher_Points_DistanceThreshold" in cls:
+            kind = "point2point"
+            thr = mp.get("threshold", "2.0*ADAPTIVE_THRESHOLD_SIGMA")
+        else:
+            raise ValueError(f"Unsupported matcher class {cls!r}")
+        ppp = int(float(mp.get("pairingsPerPoint", 1) or 1))
+        run_from = int(float(mp.get("runFromIteration", 0) or 0))
+        run_upto = int(float(mp.get("runUpToIteration", 0) or 0))
+        for row in mp.get("pointLayerMatches") or [
+            {"local": "decimated_for_icp", "global": "localmap", "weight": 1.0}
+        ]:
+            mcfgs.append(
+                MatcherCfg(
+                    kind=kind,
+                    local_layer=as_str(row.get("local", "decimated_for_icp")),
+                    global_layer=as_str(row.get("global", "localmap")),
+                    threshold=as_expr(thr),
+                    pairings_per_point=ppp,
+                    weight=as_float(row.get("weight"), 1.0),
+                    run_from_iteration=run_from,
+                    run_up_to_iteration=run_upto,
+                    allow_match_already_matched=as_bool(
+                        mp.get("allowMatchAlreadyMatchedGlobalPoints"), default=True
+                    ),
+                )
+            )
+    if not mcfgs:
+        mcfgs = [MatcherCfg()]
 
     hook_trans, hook_rot = spec_hook
     cfg = IcpConfig(
         max_iterations=int(float(p.get("maxIterations", 300))),
         min_abs_step_trans=as_float(p.get("minAbsStep_trans"), 1e-4),
         min_abs_step_rot=as_float(p.get("minAbsStep_rot"), 5e-5),
-        threshold=as_expr(threshold),
+        matchers=tuple(mcfgs),
         kernel_param=as_expr(kernel),
         gn_inner_iterations=int(float(gn.get("maxIterations", 2))),
+        horn=horn,
         hook_min_trans=hook_trans,
         hook_min_rot=hook_rot,
     )
-    return cfg, local_layer, global_layer
+    return cfg, mcfgs[0].local_layer
 
 
-def _map_def_from_yaml(gen_list, num_slots: int) -> MapDef:
+def _map_layers_from_yaml(gen_list, num_slots: int) -> Tuple[MapLayerDef, ...]:
+    """Parse the ``localmap_generator`` list into per-layer map definitions."""
     if not gen_list:
-        return MapDef(num_slots=num_slots)
-    params = (gen_list[0] or {}).get("params", {}) or {}
-    md = params.get("metric_map_definition", {}) or {}
-    cls = as_str(md.get("class", "mola::HashedVoxelPointCloud")).split("::")[-1]
-    creation = md.get("creationOpts", {}) or {}
-    ins = md.get("insertOpts", {}) or {}
-    return MapDef(
-        map_class=cls,
-        num_slots=num_slots,
-        points_per_voxel=int(float(ins.get("max_points_per_voxel", 20))),
-        voxel_size=as_expr(creation.get("voxel_size", 1.0)),
-        remove_voxels_farther_than=as_expr(ins.get("remove_voxels_farther_than", 0.0)),
-        min_distance_between_points=as_float(ins.get("min_distance_between_points"), 0.0),
-        target_layer=as_str(params.get("target_layer", "localmap")),
-    )
+        return (MapLayerDef(num_slots=num_slots),)
+    defs = []
+    for gen in gen_list:
+        params = (gen or {}).get("params", {}) or {}
+        md = params.get("metric_map_definition", {}) or {}
+        name = as_str(params.get("target_layer", "localmap"))
+        defs.append(map_def_from_yaml(name, md, num_slots))
+    return tuple(defs)
 
 
 def spec_from_yaml(cfg: dict, **overrides) -> OdometrySpec:
@@ -226,10 +256,10 @@ def spec_from_yaml(cfg: dict, **overrides) -> OdometrySpec:
 
     hook = (hook_trans, math.radians(hook_rot_deg)) if hook_enabled else (0.0, 0.0)
 
-    icp_with, local_layer, _ = _icp_from_yaml(cfg.get("icp_settings_with_vel", {}) or {}, hook)
+    icp_with, local_layer = _icp_from_yaml(cfg.get("icp_settings_with_vel", {}) or {}, hook)
     without_block = cfg.get("icp_settings_without_vel")
     if without_block:
-        icp_without, _, _ = _icp_from_yaml(without_block, hook)
+        icp_without, _ = _icp_from_yaml(without_block, hook)
     else:
         icp_without = icp_with  # reference default: same as with_vel
 
@@ -248,11 +278,20 @@ def spec_from_yaml(cfg: dict, **overrides) -> OdometrySpec:
     f2 = build_pipeline(cfg.get("observations_filter_2nd_pass"), layer_capacities)
     ff = build_pipeline(cfg.get("observations_filter_final_pass"), layer_capacities)
 
-    # map-insert source layer from insert_observation_into_local_map FilterMerge
-    map_insert_layer = "decimated_for_map"
+    # map-insert graph from insert_observation_into_local_map FilterMerge ops
+    map_inserts = []
     for entry in cfg.get("insert_observation_into_local_map", []) or []:
         if "FilterMerge" in as_str(entry.get("class_name", "")):
-            map_insert_layer = as_str(entry["params"]["input_pointcloud_layer"])
+            mp = entry.get("params", {}) or {}
+            map_inserts.append(
+                MapInsertOp(
+                    input_layer=as_str(mp["input_pointcloud_layer"]),
+                    target_map_layer=as_str(mp.get("target_layer", "localmap")),
+                )
+            )
+    map_layers = _map_layers_from_yaml(cfg.get("localmap_generator"), num_slots)
+    if not map_inserts:
+        map_inserts = [MapInsertOp("decimated_for_map", map_layers[0].name)]
 
     labels = params.get("lidar_sensor_labels", ["lidar"])
     if isinstance(labels, str):
@@ -272,8 +311,9 @@ def spec_from_yaml(cfg: dict, **overrides) -> OdometrySpec:
         icp_with_vel=icp_with,
         icp_without_vel=icp_without,
         icp_local_layer=local_layer,
-        map_def=_map_def_from_yaml(cfg.get("localmap_generator"), num_slots),
-        map_insert_layer=map_insert_layer,
+        map_layers=map_layers,
+        map_inserts=tuple(map_inserts),
+        pin_se2=as_bool(params.get("pin_se2"), default=False),
         local_map_updates=LocalMapUpdatesCfg(
             enabled=as_bool(lm.get("enabled"), default=True),
             min_translation_between_keyframes=as_expr(lm.get("min_translation_between_keyframes", 0.0)),

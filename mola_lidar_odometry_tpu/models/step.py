@@ -38,8 +38,8 @@ Deviation notes:
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Callable, Dict, NamedTuple, Tuple
+from functools import partial, reduce
+from typing import Any, Callable, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,7 +47,7 @@ import jax.numpy as jnp
 from mola_lidar_odometry_tpu.models import keyframes, navstate as ns
 from mola_lidar_odometry_tpu.models.filter_graph import apply_pipeline, deskew_ops
 from mola_lidar_odometry_tpu.models.spec import OdometrySpec
-from mola_lidar_odometry_tpu.ops import icp as icp_ops, se3, voxel_hash as vh
+from mola_lidar_odometry_tpu.ops import icp as icp_ops, maps as maps_ops, se3
 from mola_lidar_odometry_tpu.ops.pointcloud import PointCloud
 from mola_lidar_odometry_tpu.ops.se3 import Pose
 from mola_lidar_odometry_tpu.ops.solver import PosePrior
@@ -87,7 +87,7 @@ class Carry(NamedTuple):
     inst_range: jax.Array  # () f32 INSTANTANEOUS_... (0 = unset)
 
     nav: ns.NavStateBuffer
-    map: vh.VoxelHashMap
+    maps: Dict[str, Any]  # local-map layers (static keys from spec.map_layers)
     lm_kfs: keyframes.PoseRing
     sm_kfs: keyframes.PoseRing
     removal_counter: jax.Array  # () i32
@@ -141,9 +141,7 @@ def init_carry(spec: OdometrySpec) -> Carry:
         est_range=jnp.float32(0.0),
         inst_range=jnp.float32(0.0),
         nav=ns.NavStateBuffer.empty(),
-        map=vh.VoxelHashMap.create(
-            spec.map_def.num_slots, spec.map_def.points_per_voxel, 1.0
-        ),
+        maps={d.name: d.create(1.0) for d in spec.map_layers},
         lm_kfs=keyframes.PoseRing.empty(spec.kf_ring_capacity),
         sm_kfs=keyframes.PoseRing.empty(spec.kf_ring_capacity),
         removal_counter=jnp.int32(0),
@@ -204,18 +202,34 @@ def make_step(spec: OdometrySpec) -> Callable[[Carry, Scan], Tuple[Carry, StepOu
             jnp.where(nav_est.valid, nav_est.pose.t, c.pose_t),
         )
         prior = nav_est.prior  # info zeroed already when !valid
+        if spec.pin_se2:
+            # 2D scan: pin z/pitch/roll with 1e6 information around the guess
+            # (reference LidarOdometry.cpp:863-876); tangent order [rho, phi]
+            pin = jnp.zeros((6, 6), jnp.float32)
+            for i in (2, 3, 4):
+                pin = pin.at[i, i].set(1e6)
+            prior = PosePrior(
+                mean=Pose(init_pose.R, init_pose.t), info=prior.info + pin
+            )
         last_kf_pose = Pose(c.pose_R, c.pose_t)
 
-        def get_icp_layer(ly):
-            pc = ly[spec.icp_local_layer]
-            return pc.xyz, pc.valid
+        matcher_layers = sorted(
+            {mc.local_layer for cc in (cfg, cfg_nomm) for mc in cc.matchers}
+        )
+
+        def get_icp_layers(ly):
+            return {
+                name: (ly[name].xyz, ly[name].valid) for name in matcher_layers
+            }
 
         def align_once(pose, layers_, budget, kind_with_vel):
-            xyz, valid = get_icp_layer(layers_)
-            res_w = icp_ops.align(c.map, xyz, valid, pose, prior, cfg, env, budget)
+            icp_layers = get_icp_layers(layers_)
+            res_w = icp_ops.align(c.maps, icp_layers, pose, prior, cfg, env, budget)
             if cfg_nomm is cfg:
                 return res_w
-            res_n = icp_ops.align(c.map, xyz, valid, pose, PosePrior.none(), cfg_nomm, env, budget)
+            res_n = icp_ops.align(
+                c.maps, icp_layers, pose, PosePrior.none(), cfg_nomm, env, budget
+            )
             pick = lambda a, b: jax.tree_util.tree_map(
                 lambda x, y: jnp.where(kind_with_vel, x, y), a, b
             )
@@ -313,7 +327,9 @@ def make_step(spec: OdometrySpec) -> Callable[[Carry, Scan], Tuple[Carry, StepOu
             jnp.isfinite(c.last_time), stamp - c.last_time, 0.0
         )
 
-        map_empty = c.map.is_empty()
+        map_empty = reduce(
+            jnp.logical_and, [maps_ops.is_empty(m) for m in c.maps.values()]
+        )
 
         # ---- 8. first-scan seed | ICP ----
         def first_branch(_):
@@ -418,27 +434,38 @@ def make_step(spec: OdometrySpec) -> Callable[[Carry, Scan], Tuple[Carry, StepOu
         traj_len = jnp.where(restart, 0, traj_len)
         update_local_map = update_local_map & ~restart
 
-        # ---- 13. local-map update ----
+        # ---- 13. local-map update (obs2map_merge graph over all layers) ----
         env_map = dict(env_kf)
-        voxel_size = jnp.where(
-            map_empty, spec.map_def.voxel_size(env_map), c.map.voxel_size
-        )
-        m = c.map._replace(voxel_size=voxel_size)
-        m = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(restart, a, b), m.clear(), m
-        )
-        insert_pc = layers_f.get(spec.map_insert_layer)
-        if insert_pc is None:
-            insert_pc = layers_f[spec.icp_local_layer]
-        insert_global = insert_pc._replace(
-            xyz=se3.transform(new_pose, insert_pc.xyz),
-            valid=insert_pc.valid & update_local_map,
-        )
-        m2 = vh.insert(m, insert_global)
-        prune_dist = spec.map_def.remove_voxels_farther_than(env_map)
-        m2 = vh.prune_farther_than(m2, new_pose.t, prune_dist)
+        layer_defs = {d.name: d for d in spec.map_layers}
+        maps_pre: Dict[str, Any] = {}
+        for name, d in layer_defs.items():
+            m0 = c.maps[name]
+            voxel_size = jnp.where(map_empty, d.voxel_size(env_map), m0.voxel_size)
+            m0 = maps_ops.set_voxel_size(m0, voxel_size)
+            m0 = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(restart, a, b), maps_ops.clear(m0), m0
+            )
+            maps_pre[name] = m0
+
+        maps_post = dict(maps_pre)
+        for op in spec.map_inserts:
+            insert_pc = layers_f.get(op.input_layer)
+            if insert_pc is None:
+                insert_pc = layers_f[spec.icp_local_layer]
+            insert_global = insert_pc._replace(
+                xyz=se3.transform(new_pose, insert_pc.xyz),
+                valid=insert_pc.valid & update_local_map,
+            )
+            maps_post[op.target_map_layer] = maps_ops.insert(
+                maps_post[op.target_map_layer], insert_global, sensor_origin=new_pose.t
+            )
+        for name, d in layer_defs.items():
+            prune_dist = d.remove_voxels_farther_than(env_map)
+            maps_post[name] = maps_ops.prune_farther_than(
+                maps_post[name], new_pose.t, prune_dist
+            )
         m_final = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(update_local_map, a, b), m2, m
+            lambda a, b: jnp.where(update_local_map, a, b), maps_post, maps_pre
         )
 
         icp_layer_pc = layers_f.get(spec.icp_local_layer, raw_pc)
@@ -477,7 +504,7 @@ def make_step(spec: OdometrySpec) -> Callable[[Carry, Scan], Tuple[Carry, StepOu
             est_range=est_range,
             inst_range=inst,
             nav=nav1,
-            map=m_final,
+            maps=m_final,
             lm_kfs=lm_kfs,
             sm_kfs=sm_kfs,
             removal_counter=removal_counter,

@@ -1,51 +1,89 @@
 """The ICP iteration loop as a single XLA program (lax.while_loop).
 
 TPU rebuild of ``mp2p_icp::ICP::align`` as exercised by the reference
-odometry (module/src/LidarOdometry.cpp:916-1024; parameters
-pipelines/lidar3d-default.yaml:172-209):
+odometry (module/src/LidarOdometry.cpp:916-1024; built from YAML by
+``icp_pipeline_from_yaml``, :115-123):
 
-  iterate {  matcher (NN under annealed distance threshold)
-             -> robust Gauss-Newton (inner iters, Geman-McClure, prior)
+  iterate {  matchers (NN / point-to-plane under annealed thresholds)
+             -> solver (Horn while coarse, then robust Gauss-Newton)
              -> convergence check (minAbsStep_trans / minAbsStep_rot)  }
   then quality = paired ratio  (QualityEvaluator_PairedRatio)
+
+Multi-matcher semantics follow the pipeline YAMLs: each matcher pairs one
+local point layer against one global (local-map) layer with its own runtime
+threshold expression and weight (e.g. lidar3d-ndt.yaml:195-211 runs
+Matcher_Point2Plane *and* a point-to-point fallback each iteration;
+near-far/dual-map configs run several point matchers).  Solver sequencing
+follows extras/icp-pipeline_no_motion_model.yaml:24-36: a closed-form Horn
+stage handles coarse alignment until its translation correction drops below
+``runUntilTranslationCorrectionSmallerThan``, then Gauss-Newton refines.
 
 The per-iteration dynamic variables (``ICP_ITERATION``) feed the annealed
 matcher-threshold and robust-kernel expressions exactly like the reference's
 ParameterSource re-realization.  The iteration-hook semantics used for twist
-re-optimization (LidarOdometry.cpp:923-952) appear here as a loop-exit
-condition: when the accumulated pose delta from the align() start exceeds the
+re-optimization (LidarOdometry.cpp:923-952) appear as a loop-exit condition:
+when the accumulated pose delta from the align() start exceeds the
 configured thresholds the loop stops with ``hook_stop=True`` and the caller
 (models/step.py) re-deskews and re-enters with the remaining budget.
 
-Everything is fixed-shape; the candidate set is the 27-voxel neighborhood
-gather from ops/voxel_hash.  Iteration count is data-dependent via
-``lax.while_loop`` so converged frames exit early on device.
+Everything is fixed-shape; candidates come from the 27-voxel neighborhood
+gathers in ops/voxel_hash, ops/ndt, ops/occupancy.  Iteration count is
+data-dependent via ``lax.while_loop`` so converged frames exit early.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, NamedTuple, Sequence, Tuple
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from mola_lidar_odometry_tpu.ops import se3, voxel_hash
+from mola_lidar_odometry_tpu.ops import maps as maps_ops, se3
 from mola_lidar_odometry_tpu.ops.se3 import Pose
-from mola_lidar_odometry_tpu.ops.solver import PosePrior, solve_gauss_newton
+from mola_lidar_odometry_tpu.ops.solver import (
+    PairingBlock,
+    PosePrior,
+    solve_gauss_newton_blocks,
+    solve_horn,
+)
 from mola_lidar_odometry_tpu.utils.expr import Expr
 
 
 @dataclass(frozen=True)
+class MatcherCfg:
+    """One matcher entry (Matcher_Points_DistanceThreshold / Matcher_Point2Plane
+    x one pointLayerMatches row)."""
+
+    kind: str = "point2point"  # or "point2plane"
+    local_layer: str = "decimated_for_icp"
+    global_layer: str = "localmap"
+    threshold: Expr = field(default_factory=lambda: Expr("2.0*ADAPTIVE_THRESHOLD_SIGMA"))
+    pairings_per_point: int = 1
+    weight: float = 1.0
+    run_from_iteration: int = 0
+    run_up_to_iteration: int = 0  # 0 = unbounded
+    allow_match_already_matched: bool = True
+
+
+@dataclass(frozen=True)
+class HornCfg:
+    """Closed-form Horn stage ahead of GN (Solver_Horn)."""
+
+    run_until_translation_correction_smaller_than: float = 5e-4
+
+
+@dataclass(frozen=True)
 class IcpConfig:
-    """Static ICP configuration compiled from the pipeline YAML."""
+    """Static ICP configuration compiled from a pipeline YAML block."""
 
     max_iterations: int = 300
     min_abs_step_trans: float = 1e-4
     min_abs_step_rot: float = 5e-5
-    threshold: Expr = field(default_factory=lambda: Expr("2.0*ADAPTIVE_THRESHOLD_SIGMA"))
+    matchers: Tuple[MatcherCfg, ...] = (MatcherCfg(),)
     kernel_param: Expr = field(default_factory=lambda: Expr("0.5*ADAPTIVE_THRESHOLD_SIGMA"))
     gn_inner_iterations: int = 2
+    horn: Optional[HornCfg] = None
     # iteration-hook (twist re-optimization) thresholds; 0 disables
     hook_min_trans: float = 0.0
     hook_min_rot: float = 0.0
@@ -59,17 +97,49 @@ class IcpResult(NamedTuple):
     converged: jax.Array  # () bool
 
 
-def _match(m, pose, xyz, valid, thr):
-    q = se3.transform(pose, xyz)
-    nn, d2, found = voxel_hash.query_nn(m, q, valid)
-    pair_valid = found & (d2 < thr * thr)
-    return nn, pair_valid
+def _matcher_blocks(
+    cfg: IcpConfig,
+    maps: Dict[str, Any],
+    layers: Dict[str, Tuple[jax.Array, jax.Array]],
+    pose: Pose,
+    env_it: Dict[str, jax.Array],
+    it: jax.Array,
+) -> Tuple[List[PairingBlock], jax.Array, jax.Array]:
+    """Run every matcher at ``pose``; returns (blocks, paired, n_local)."""
+    blocks: List[PairingBlock] = []
+    paired = jnp.float32(0.0)
+    n_local = jnp.float32(0.0)
+    for mc in cfg.matchers:
+        xyz, valid = layers[mc.local_layer]
+        m = maps[mc.global_layer]
+        thr = jnp.asarray(mc.threshold(env_it), jnp.float32)
+        active = it >= mc.run_from_iteration
+        if mc.run_up_to_iteration > 0:
+            active = active & (it <= mc.run_up_to_iteration)
+        q = se3.transform(pose, xyz)
+        if mc.kind == "point2plane":
+            tgt, nrm, d2, found = maps_ops.query_p2pl(m, q, valid)
+            pv = found & (d2 < thr * thr) & active
+            blocks.append(PairingBlock("p2pl", xyz, tgt, nrm, pv, mc.weight))
+        elif mc.pairings_per_point >= 2:
+            tgt2, d22, found2 = maps_ops.query_p2p2(m, q, valid)
+            pv2 = found2 & (d22 < thr * thr) & active[..., None]
+            z = jnp.zeros_like(xyz)
+            blocks.append(PairingBlock("p2p", xyz, tgt2[:, 0], z, pv2[:, 0], mc.weight))
+            blocks.append(PairingBlock("p2p", xyz, tgt2[:, 1], z, pv2[:, 1], mc.weight))
+            pv = pv2[:, 0]
+        else:
+            tgt, d2, found = maps_ops.query_p2p(m, q, valid)
+            pv = found & (d2 < thr * thr) & active
+            blocks.append(PairingBlock("p2p", xyz, tgt, jnp.zeros_like(xyz), pv, mc.weight))
+        paired = paired + jnp.sum(pv).astype(jnp.float32)
+        n_local = n_local + jnp.sum(valid).astype(jnp.float32)
+    return blocks, paired, n_local
 
 
 def align(
-    m: voxel_hash.VoxelHashMap,
-    local_xyz: jax.Array,  # (N, 3) ICP layer points, vehicle frame
-    local_valid: jax.Array,  # (N,) bool
+    maps: Dict[str, Any],  # name -> map-layer state (voxel/ndt/occupancy)
+    layers: Dict[str, Tuple[jax.Array, jax.Array]],  # name -> (xyz, valid)
     init_pose: Pose,
     prior: PosePrior,
     cfg: IcpConfig,
@@ -85,16 +155,32 @@ def align(
     hook_on = cfg.hook_min_trans > 0 or cfg.hook_min_rot > 0
 
     def body(state):
-        pose, it, _, _ = state
+        pose, it, _, _, horn_active = state
         env_it = dict(env)
         env_it["ICP_ITERATION"] = it.astype(jnp.float32)
-        thr = cfg.threshold(env_it)
         kernel_c = cfg.kernel_param(env_it)
 
-        nn, pair_valid = _match(m, pose, local_xyz, local_valid, thr)
-        new_pose, _ = solve_gauss_newton(
-            pose, local_xyz, nn, pair_valid, kernel_c, prior, cfg.gn_inner_iterations
+        blocks, _, _ = _matcher_blocks(cfg, maps, layers, pose, env_it, it)
+
+        gn_pose, _ = solve_gauss_newton_blocks(
+            pose, blocks, kernel_c, prior, cfg.gn_inner_iterations
         )
+        if cfg.horn is not None:
+            p2p = [b for b in blocks if b.kind == "p2p"]
+            p_all = jnp.concatenate([b.p_local for b in p2p], axis=0)
+            q_all = jnp.concatenate([b.q_global for b in p2p], axis=0)
+            v_all = jnp.concatenate([b.valid for b in p2p], axis=0)
+            horn_pose = solve_horn(p_all, q_all, v_all)
+            new_pose = Pose(
+                jnp.where(horn_active, horn_pose.R, gn_pose.R),
+                jnp.where(horn_active, horn_pose.t, gn_pose.t),
+            )
+            horn_step = jnp.linalg.norm(horn_pose.t - pose.t)
+            horn_active = horn_active & (
+                horn_step >= cfg.horn.run_until_translation_correction_smaller_than
+            )
+        else:
+            new_pose = gn_pose
 
         dt, dr = se3.pose_error_norms(pose, new_pose)
         converged = (dt < cfg.min_abs_step_trans) & (dr < cfg.min_abs_step_rot)
@@ -104,21 +190,25 @@ def align(
             hook = (ht > cfg.hook_min_trans) | (hr > cfg.hook_min_rot)
         else:
             hook = jnp.asarray(False)
-        return new_pose, it + 1, converged, hook
+        return new_pose, it + 1, converged, hook, horn_active
 
     def cond(state):
-        _, it, converged, hook = state
+        _, it, converged, hook, _ = state
         return (~converged) & (~hook) & (it < budget)
 
-    state0 = (init_pose, jnp.int32(0), jnp.asarray(False), jnp.asarray(False))
-    pose, it, converged, hook = jax.lax.while_loop(cond, body, state0)
+    state0 = (
+        init_pose,
+        jnp.int32(0),
+        jnp.asarray(False),
+        jnp.asarray(False),
+        jnp.asarray(cfg.horn is not None),
+    )
+    pose, it, converged, hook, _ = jax.lax.while_loop(cond, body, state0)
 
     # Quality: paired ratio at the final pose/threshold
     env_q = dict(env)
     env_q["ICP_ITERATION"] = it.astype(jnp.float32)
-    thr = cfg.threshold(env_q)
-    _, pair_valid = _match(m, pose, local_xyz, local_valid, thr)
-    n_local = jnp.maximum(jnp.sum(local_valid), 1)
-    quality = jnp.sum(pair_valid) / n_local.astype(jnp.float32)
+    _, paired, n_local = _matcher_blocks(cfg, maps, layers, pose, env_q, it)
+    quality = paired / jnp.maximum(n_local, 1.0)
 
     return IcpResult(pose=pose, quality=quality, iterations=it, hook_stop=hook, converged=converged)

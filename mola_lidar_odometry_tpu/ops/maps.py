@@ -1,0 +1,185 @@
+"""Unified local-map layer interface over the concrete map types.
+
+The reference's local map is an ``mp2p_icp::metric_map_t`` whose named layers
+can be any registered metric-map class — ``mola::HashedVoxelPointCloud``,
+``mola::NDT``, ``mrpt::maps::CVoxelMap``, ``mola::SparseTreesPointCloud``,
+plain point layers … (SURVEY.md §2.3; YAML ``metric_map_definition`` blocks
+in pipelines/*.yaml).  Here the *class* of each layer is static trace-time
+configuration (:class:`MapLayerDef`, parsed from the same YAML schema) and
+dispatch happens in Python while building the jitted step; the *state* is a
+pytree (one of the NamedTuples from ops/voxel_hash, ops/ndt, ops/occupancy).
+
+``SparseTreesPointCloud`` (block-sparse point storage, rgbd.yaml:203-217) is
+served by the hash-voxel point map with the block size as voxel size and a
+deep per-voxel point budget — same insert/NN/prune contract, one code path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mola_lidar_odometry_tpu.ops import ndt, occupancy, voxel_hash
+from mola_lidar_odometry_tpu.ops.pointcloud import PointCloud
+from mola_lidar_odometry_tpu.utils.expr import Expr, as_expr
+
+
+@dataclass(frozen=True)
+class MapLayerDef:
+    """Static definition of one local-map layer (from ``localmap_generator``).
+
+    Mirrors the YAML ``metric_map_definition`` schema
+    (pipelines/lidar3d-default.yaml:228-242, lidar3d-ndt.yaml:236-254,
+    lidar2d.yaml:185-198).  ``num_slots`` is the TPU-specific fixed hash-table
+    capacity.
+    """
+
+    name: str = "localmap"
+    map_class: str = "HashedVoxelPointCloud"
+    num_slots: int = 1 << 18
+    voxel_size: Expr = field(default_factory=lambda: Expr("1.0"))
+    remove_voxels_farther_than: Expr = field(default_factory=lambda: Expr("0"))
+    # HashedVoxelPointCloud / SparseTreesPointCloud
+    points_per_voxel: int = 20
+    min_distance_between_points: float = 0.0
+    # NDT
+    max_eigen_ratio_for_planes: float = 0.05
+    # CVoxelMap (occupancy)
+    prob_hit: float = 0.7
+    prob_miss: float = 0.3
+    clamp_min: float = 0.05
+    clamp_max: float = 0.95
+    occupied_threshold: float = 0.6
+    ray_trace_free_space: bool = True
+
+    def create(self, voxel_size) -> Any:
+        cls = self.map_class
+        if cls in ("HashedVoxelPointCloud", "SparseTreesPointCloud", "CPointsMap",
+                   "CSimplePointsMap", "CPointsMapXYZI", "CPointsMapXYZIRT"):
+            # plain point layers are a degenerate hash map with tiny voxels
+            return voxel_hash.VoxelHashMap.create(
+                self.num_slots, self.points_per_voxel, voxel_size
+            )
+        if cls == "NDT":
+            return ndt.NdtMap.create(
+                self.num_slots, voxel_size, self.max_eigen_ratio_for_planes
+            )
+        if cls == "CVoxelMap":
+            return occupancy.OccupancyMap.create(
+                self.num_slots,
+                voxel_size,
+                prob_hit=self.prob_hit,
+                prob_miss=self.prob_miss,
+                clamp_min=self.clamp_min,
+                clamp_max=self.clamp_max,
+                occupied_threshold=self.occupied_threshold,
+                ray_trace_free_space=self.ray_trace_free_space,
+            )
+        raise ValueError(f"Unsupported metric map class {cls!r}")
+
+
+def map_def_from_yaml(name: str, md: dict, num_slots: int) -> MapLayerDef:
+    """Parse one ``metric_map_definition`` YAML block."""
+    from mola_lidar_odometry_tpu.utils.config import as_bool, as_float, as_str
+
+    cls = as_str(md.get("class", "mola::HashedVoxelPointCloud")).split("::")[-1]
+    creation = md.get("creationOpts", {}) or {}
+    ins = md.get("insertOpts", {}) or {}
+    lik = md.get("likelihoodOpts", {}) or {}
+    voxel = creation.get("voxel_size", creation.get("resolution", 1.0))
+    if cls == "SparseTreesPointCloud":
+        voxel = creation.get("grid_size", voxel)
+    return MapLayerDef(
+        name=name,
+        map_class=cls,
+        num_slots=num_slots,
+        voxel_size=as_expr(voxel),
+        remove_voxels_farther_than=as_expr(ins.get("remove_voxels_farther_than", 0.0)),
+        points_per_voxel=int(float(ins.get("max_points_per_voxel", 20) or 20)),
+        min_distance_between_points=as_float(ins.get("min_distance_between_points"), 0.0),
+        max_eigen_ratio_for_planes=as_float(ins.get("max_eigen_ratio_for_planes"), 0.05),
+        prob_hit=as_float(ins.get("prob_hit"), 0.7),
+        prob_miss=as_float(ins.get("prob_miss"), 0.3),
+        clamp_min=as_float(ins.get("clamp_min"), 0.05),
+        clamp_max=as_float(ins.get("clamp_max"), 0.95),
+        occupied_threshold=as_float(lik.get("occupiedThreshold"), 0.6),
+        ray_trace_free_space=as_bool(ins.get("ray_trace_free_space"), default=True),
+    )
+
+
+# ---------------------------------------------------------------------------
+# state-polymorphic operations (dispatch on pytree type at trace time)
+# ---------------------------------------------------------------------------
+
+
+def insert(state, pc: PointCloud, sensor_origin=None):
+    if isinstance(state, voxel_hash.VoxelHashMap):
+        return voxel_hash.insert(state, pc)
+    if isinstance(state, ndt.NdtMap):
+        return ndt.insert(state, pc)
+    if isinstance(state, occupancy.OccupancyMap):
+        return occupancy.insert(state, pc, sensor_origin)
+    raise TypeError(type(state))
+
+
+def prune_farther_than(state, center, distance):
+    if isinstance(state, voxel_hash.VoxelHashMap):
+        return voxel_hash.prune_farther_than(state, center, distance)
+    if isinstance(state, ndt.NdtMap):
+        return ndt.prune_farther_than(state, center, distance)
+    if isinstance(state, occupancy.OccupancyMap):
+        return occupancy.prune_farther_than(state, center, distance)
+    raise TypeError(type(state))
+
+
+def is_empty(state) -> jax.Array:
+    return state.is_empty()
+
+
+def clear(state):
+    return state.clear()
+
+
+def set_voxel_size(state, voxel_size):
+    return state._replace(voxel_size=jnp.asarray(voxel_size, jnp.float32))
+
+
+def query_p2p(state, queries, valid) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Nearest-target query: returns (target_xyz, dist2, found)."""
+    if isinstance(state, voxel_hash.VoxelHashMap):
+        return voxel_hash.query_nn(state, queries, valid)
+    if isinstance(state, ndt.NdtMap):
+        return ndt.query_p2p(state, queries, valid)
+    if isinstance(state, occupancy.OccupancyMap):
+        return occupancy.query_p2p(state, queries, valid)
+    raise TypeError(type(state))
+
+
+def query_p2p2(state, queries, valid):
+    """Two-nearest query (pairingsPerPoint=2); point-map layers only."""
+    if isinstance(state, voxel_hash.VoxelHashMap):
+        return voxel_hash.query_nn2(state, queries, valid)
+    raise TypeError(f"pairingsPerPoint=2 unsupported for {type(state)}")
+
+
+def query_p2pl(state, queries, valid):
+    """Point-to-plane query: returns (plane_pt, normal, dist2, found)."""
+    if isinstance(state, ndt.NdtMap):
+        return ndt.query_p2pl(state, queries, valid)
+    raise TypeError(f"point-to-plane matching needs an NDT layer, got {type(state)}")
+
+
+def as_pointcloud(state, capacity: int) -> PointCloud:
+    """Flatten a map layer to a point view (viz / serialization / export)."""
+    if isinstance(state, voxel_hash.VoxelHashMap):
+        return voxel_hash.as_pointcloud(state, capacity)
+    if isinstance(state, ndt.NdtMap):
+        live = state.n > 0
+        return PointCloud.from_xyz(state.means(), valid=live).compact(capacity)
+    if isinstance(state, occupancy.OccupancyMap):
+        centers = (state.keys.astype(jnp.float32) + 0.5) * state.voxel_size
+        return PointCloud.from_xyz(centers, valid=state.occupied()).compact(capacity)
+    raise TypeError(type(state))

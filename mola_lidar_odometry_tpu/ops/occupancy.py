@@ -1,0 +1,176 @@
+"""Occupancy voxel map with ray-traced free space (log-odds), for lidar2d.
+
+TPU-native replacement for ``mrpt::maps::CVoxelMap`` as configured by the 2D
+pipeline (reference pipelines/lidar2d.yaml:183-198: ``resolution``,
+``prob_hit``/``prob_miss``, ``clamp_min``/``clamp_max``,
+``ray_trace_free_space``, ``remove_voxels_farther_than``,
+``occupiedThreshold``) — a Bonxai-style probabilistic voxel grid.
+
+Same direct-mapped hash layout as the other maps; slots store a log-odds
+occupancy value.  Inserting a scan performs two scatter passes:
+
+  1. **misses** — each beam is sampled at one-voxel steps from the sensor
+     origin toward the endpoint (static sample count, masked past the
+     endpoint) and every touched voxel accumulates the miss log-odds.  This
+     deviates from an exact DDA walk (a voxel crossed twice by sample
+     spacing gets the update twice) but keeps the pass one fixed-shape
+     scatter; matching only consumes *occupied* voxels where hits dominate.
+  2. **hits** — endpoint voxels accumulate the hit log-odds.
+
+Log-odds are clamped to [logit(clamp_min), logit(clamp_max)].  The matcher
+side exposes occupied-voxel centers as nearest-neighbor targets — the
+point-layer view mp2p_icp's Matcher_Points_DistanceThreshold sees when the
+global layer is an occupancy voxel map.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mola_lidar_odometry_tpu.ops.filters import voxel_coords, voxel_hash
+from mola_lidar_odometry_tpu.ops.pointcloud import PointCloud
+from mola_lidar_odometry_tpu.ops.voxel_hash import claim_slots
+
+
+def _logit(p: float) -> float:
+    return math.log(p / (1.0 - p))
+
+
+class OccupancyMap(NamedTuple):
+    """Fixed-capacity log-odds occupancy voxel map."""
+
+    voxel_size: jax.Array  # () f32
+    keys: jax.Array  # (V, 3) i32
+    used: jax.Array  # (V,) bool — slot owned (free OR occupied knowledge)
+    logodds: jax.Array  # (V,) f32
+
+    # static insert parameters (plain floats; part of the trace constants)
+    l_hit: float = _logit(0.7)
+    l_miss: float = _logit(0.3)
+    l_min: float = _logit(0.05)
+    l_max: float = _logit(0.95)
+    l_occ: float = _logit(0.6)  # occupiedThreshold
+    ray_trace: bool = True
+    max_ray_samples: int = 512
+
+    @property
+    def num_slots(self) -> int:
+        return self.keys.shape[0]
+
+    def is_empty(self) -> jax.Array:
+        return ~jnp.any(self.used & (self.logodds > self.l_occ))
+
+    def occupied(self) -> jax.Array:
+        return self.used & (self.logodds > self.l_occ)
+
+    def num_voxels(self) -> jax.Array:
+        return jnp.sum(self.occupied())
+
+    @staticmethod
+    def create(
+        num_slots: int,
+        voxel_size,
+        *,
+        prob_hit: float = 0.7,
+        prob_miss: float = 0.3,
+        clamp_min: float = 0.05,
+        clamp_max: float = 0.95,
+        occupied_threshold: float = 0.6,
+        ray_trace_free_space: bool = True,
+        max_ray_samples: int = 512,
+    ) -> "OccupancyMap":
+        if num_slots & (num_slots - 1):
+            raise ValueError("num_slots must be a power of two")
+        return OccupancyMap(
+            voxel_size=jnp.asarray(voxel_size, jnp.float32),
+            keys=jnp.zeros((num_slots, 3), jnp.int32),
+            used=jnp.zeros((num_slots,), bool),
+            logodds=jnp.zeros((num_slots,), jnp.float32),
+            l_hit=_logit(prob_hit),
+            l_miss=_logit(prob_miss),
+            l_min=_logit(clamp_min),
+            l_max=_logit(clamp_max),
+            l_occ=_logit(occupied_threshold),
+            ray_trace=ray_trace_free_space,
+            max_ray_samples=max_ray_samples,
+        )
+
+    def clear(self) -> "OccupancyMap":
+        return self._replace(
+            used=jnp.zeros_like(self.used), logodds=jnp.zeros_like(self.logodds)
+        )
+
+
+def _scatter_update(m: OccupancyMap, xyz, valid, delta) -> OccupancyMap:
+    """Claim slots for the touched voxels and scatter-add ``delta`` log-odds."""
+    V = m.num_slots
+    coords = voxel_coords(xyz, m.voxel_size)
+    slot = voxel_hash(coords, V)
+    accept, claim_ok = claim_slots(m.keys, m.used, coords, slot, valid)
+    # fresh claims start from log-odds 0
+    lo = jnp.where(m.used, m.logodds, 0.0)
+    lo = lo.at[slot].add(jnp.where(accept, delta, 0.0), mode="drop")
+    lo = jnp.clip(lo, m.l_min, m.l_max)
+    used = m.used.at[jnp.where(accept, slot, V)].set(True, mode="drop")
+    keys = m.keys.at[jnp.where(claim_ok, slot, V)].set(coords, mode="drop")
+    return m._replace(keys=keys, used=used, logodds=lo)
+
+
+def insert(m: OccupancyMap, pc: PointCloud, sensor_origin=None) -> OccupancyMap:
+    """Insert a scan (global frame); ``sensor_origin`` (3,) enables the
+    free-space pass (defaults to the origin when ray tracing is on)."""
+    if m.ray_trace:
+        origin = (
+            jnp.zeros(3, jnp.float32)
+            if sensor_origin is None
+            else jnp.asarray(sensor_origin, jnp.float32)
+        )
+        d = pc.xyz - origin  # (N, 3)
+        rng = jnp.linalg.norm(d, axis=-1)
+        S = m.max_ray_samples
+        # samples at one-voxel spacing, masked past (range - half voxel)
+        ts = (jnp.arange(S, dtype=jnp.float32)[None, :] + 0.5) * m.voxel_size  # (1,S)
+        inside = ts < (rng[:, None] - 0.5 * m.voxel_size)
+        pts = origin + d[:, None, :] * (ts / jnp.maximum(rng[:, None], 1e-6))[:, :, None]
+        miss_valid = inside & pc.valid[:, None]
+        m = _scatter_update(
+            m, pts.reshape(-1, 3), miss_valid.reshape(-1), m.l_miss
+        )
+    return _scatter_update(m, pc.xyz, pc.valid, m.l_hit)
+
+
+def prune_farther_than(m: OccupancyMap, center: jax.Array, distance) -> OccupancyMap:
+    """Drop voxels with L1 distance beyond ``distance`` (<=0 disables)."""
+    centers = (m.keys.astype(jnp.float32) + 0.5) * m.voxel_size
+    l1 = jnp.max(jnp.abs(centers - center), axis=-1)
+    keep = (l1 <= distance) | (distance <= 0)
+    return m._replace(used=m.used & keep)
+
+
+def query_p2p(
+    m: OccupancyMap, queries: jax.Array, valid: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Nearest *occupied* voxel center per query (27-neighborhood)."""
+    n = queries.shape[0]
+    base = voxel_coords(queries, m.voxel_size)
+    occ = m.occupied()
+    best_d2 = jnp.full((n,), jnp.inf, jnp.float32)
+    best_pt = jnp.zeros((n, 3), jnp.float32)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                off = jnp.asarray([dx, dy, dz], jnp.int32)
+                c = base + off
+                s = voxel_hash(c, m.num_slots)
+                live = jnp.all(m.keys[s] == c, axis=-1) & occ[s]
+                ctr = (c.astype(jnp.float32) + 0.5) * m.voxel_size
+                d2 = jnp.where(live, jnp.sum((ctr - queries) ** 2, axis=-1), jnp.inf)
+                better = d2 < best_d2
+                best_d2 = jnp.where(better, d2, best_d2)
+                best_pt = jnp.where(better[:, None], ctr, best_pt)
+    found = valid & jnp.isfinite(best_d2)
+    return best_pt, jnp.where(found, best_d2, jnp.inf), found

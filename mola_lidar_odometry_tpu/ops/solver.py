@@ -21,7 +21,7 @@ reference's SE(2) pinning for 2D scans (LidarOdometry.cpp:863-876).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +49,93 @@ def geman_mcclure_weight(r2: jax.Array, c) -> jax.Array:
     c2 = c * c
     t = c2 / (r2 + c2)
     return t * t
+
+
+class PairingBlock(NamedTuple):
+    """One matcher's pairings for the solver.
+
+    ``kind`` is static: "p2p" (3-dim residual ``Tp - q``) or "p2pl" (scalar
+    residual ``n . (Tp - q)``, normals in ``nrm``).  ``weight`` is the
+    matcher's layer weight (pointLayerMatches ``weight`` field).
+    """
+
+    kind: str
+    p_local: jax.Array  # (N, 3)
+    q_global: jax.Array  # (N, 3)
+    nrm: jax.Array  # (N, 3); zeros for p2p
+    valid: jax.Array  # (N,) bool
+    weight: float
+
+
+def _block_normal_equations(pose: Pose, blk: PairingBlock, kernel_c):
+    """H, b, and robust-weight stats for one pairing block at ``pose``."""
+    tp = se3.transform(pose, blk.p_local)  # (N, 3)
+    n = blk.p_local.shape[0]
+    K = se3.hat(tp)  # (N, 3, 3)
+    I = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (n, 3, 3))
+    J3 = jnp.concatenate([I, -K], axis=-1)  # (N, 3, 6) d(Tp)/d eps
+
+    if blk.kind == "p2p":
+        r = tp - blk.q_global
+        r2 = jnp.sum(r * r, axis=-1)
+        w = geman_mcclure_weight(r2, kernel_c) * blk.valid * blk.weight
+        Jw = J3 * w[:, None, None]
+        H = jnp.einsum("nij,nik->jk", Jw, J3)
+        b = jnp.einsum("nij,ni->j", Jw, r)
+    elif blk.kind == "p2pl":
+        r = jnp.sum(blk.nrm * (tp - blk.q_global), axis=-1)  # (N,)
+        J = jnp.einsum("ni,nij->nj", blk.nrm, J3)  # (N, 6)
+        w = geman_mcclure_weight(r * r, kernel_c) * blk.valid * blk.weight
+        Jw = J * w[:, None]
+        H = jnp.einsum("ni,nj->ij", Jw, J)
+        b = jnp.einsum("ni,n->i", Jw, r)
+    else:
+        raise ValueError(blk.kind)
+    return H, b
+
+
+def gauss_newton_step_blocks(
+    pose: Pose,
+    blocks: Sequence[PairingBlock],
+    kernel_c,
+    prior: PosePrior,
+    damping: float = 1e-8,
+) -> Tuple[Pose, jax.Array]:
+    """One robust GN update over heterogeneous pairing blocks + prior."""
+    H = jnp.zeros((6, 6), jnp.float32)
+    b = jnp.zeros((6,), jnp.float32)
+    any_pair = jnp.asarray(False)
+    for blk in blocks:
+        Hb, bb = _block_normal_equations(pose, blk, kernel_c)
+        H, b = H + Hb, b + bb
+        any_pair = any_pair | (jnp.sum(blk.valid) > 0)
+
+    rp = se3.se3_log(se3.relative(prior.mean, pose))
+    H = H + prior.info
+    b = b + prior.info @ rp
+
+    scale = jnp.trace(H) / 6.0 + 1.0
+    Hd = H + (damping * scale) * jnp.eye(6, dtype=jnp.float32)
+    eps = -jnp.linalg.solve(Hd, b)
+    ok = any_pair | (jnp.trace(prior.info) > 0)
+    eps = jnp.where(ok, eps, 0.0)
+    return se3.compose(se3.se3_exp(eps), pose), eps
+
+
+def solve_gauss_newton_blocks(
+    pose: Pose,
+    blocks: Sequence[PairingBlock],
+    kernel_c,
+    prior: PosePrior,
+    inner_iterations: int = 2,
+) -> Tuple[Pose, jax.Array]:
+    """The solver's inner loop over fixed pairings (Solver_GaussNewton
+    ``maxIterations``)."""
+    total = jnp.zeros((6,), jnp.float32)
+    for _ in range(inner_iterations):
+        pose, eps = gauss_newton_step_blocks(pose, blocks, kernel_c, prior)
+        total = total + eps
+    return pose, total
 
 
 def gauss_newton_step(

@@ -79,23 +79,30 @@ class VoxelHashMap(NamedTuple):
         return self._replace(count=jnp.zeros_like(self.count))
 
 
-def insert(m: VoxelHashMap, pc: PointCloud) -> VoxelHashMap:
-    """Insert the valid points of ``pc`` (already in map/global frame)."""
-    V, K = m.num_slots, m.points_per_voxel
-    n = pc.capacity
+def claim_slots(
+    keys: jax.Array,  # (V, 3) current slot keys
+    slot_used: jax.Array,  # (V,) bool — slot currently owned by some voxel
+    coords: jax.Array,  # (n, 3) voxel coords of the incoming points
+    slot: jax.Array,  # (n,) hash slot per point
+    valid: jax.Array,  # (n,) bool
+) -> Tuple[jax.Array, jax.Array]:
+    """Atomics-free parallel slot claim, shared by all hash-map types.
+
+    Empty slots are claimed by the first (lowest-index) valid point hashing to
+    them; if two *different* voxels race for one empty slot, the earlier
+    point's voxel wins and the other voxel's points drop for this frame.
+    Returns ``(accept, claim_ok)``: accept = this point may write to its
+    slot; claim_ok = this point's voxel newly owns the slot (write the key).
+    """
+    n = coords.shape[0]
+    V = keys.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     big = jnp.int32(n)
 
-    coords = voxel_coords(pc.xyz, m.voxel_size)  # (n, 3)
-    slot = voxel_hash(coords, V)  # (n,)
+    occupied = slot_used[slot]
+    same_key = jnp.all(keys[slot] == coords, axis=-1)
 
-    occupied = m.count[slot] > 0
-    same_key = jnp.all(m.keys[slot] == coords, axis=-1)
-
-    # Phase 1: claim empty slots (first valid point wins per slot; if two
-    # *different* voxels race for one empty slot, the earlier point's voxel
-    # wins and the other voxel's points drop this frame).
-    wants_claim = pc.valid & ~occupied
+    wants_claim = valid & ~occupied
     claim = jnp.full((V,), big, jnp.int32).at[slot].min(
         jnp.where(wants_claim, idx, big), mode="drop"
     )
@@ -105,7 +112,19 @@ def insert(m: VoxelHashMap, pc: PointCloud) -> VoxelHashMap:
     winner_coords = coords[jnp.where(winner_idx < big, winner_idx, 0)]
     claim_ok = claim_won & jnp.all(winner_coords == coords, axis=-1)
 
-    accept = pc.valid & ((occupied & same_key) | claim_ok)
+    accept = valid & ((occupied & same_key) | claim_ok)
+    return accept, claim_ok
+
+
+def insert(m: VoxelHashMap, pc: PointCloud) -> VoxelHashMap:
+    """Insert the valid points of ``pc`` (already in map/global frame)."""
+    V, K = m.num_slots, m.points_per_voxel
+    n = pc.capacity
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    coords = voxel_coords(pc.xyz, m.voxel_size)  # (n, 3)
+    slot = voxel_hash(coords, V)  # (n,)
+    accept, claim_ok = claim_slots(m.keys, m.count > 0, coords, slot, pc.valid)
 
     # Phase 2: per-slot arrival rank via one sort over the batch.  Sort key
     # packs (slot, idx) so ranks follow input order within a slot.
@@ -187,6 +206,49 @@ def query_nn(
                 best_pt = jnp.where(better[:, None], pmin, best_pt)
 
     found = valid & jnp.isfinite(best_d2)
+    return best_pt, jnp.where(found, best_d2, jnp.inf), found
+
+
+def query_nn2(
+    m: VoxelHashMap, queries: jax.Array, valid: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Two nearest map points per query (``pairingsPerPoint: 2``).
+
+    Mirrors Matcher_Points_DistanceThreshold with 2 pairings per local point
+    (reference pipelines/lidar2d.yaml:152-159).  Returns
+    ``(nn_xyz (N,2,3), dist2 (N,2), found (N,2))``; slot 1 may be un-found
+    when the neighborhood holds a single candidate.
+    """
+    K = m.points_per_voxel
+    n = queries.shape[0]
+    base = voxel_coords(queries, m.voxel_size)
+
+    best_d2 = jnp.full((n, 2), jnp.inf, jnp.float32)
+    best_pt = jnp.zeros((n, 2, 3), jnp.float32)
+
+    jslots = jnp.arange(K, dtype=jnp.int32)[None, :]
+
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                off = jnp.asarray([dx, dy, dz], jnp.int32)
+                c = base + off
+                s = voxel_hash(c, m.num_slots)
+                key_ok = jnp.all(m.keys[s] == c, axis=-1) & (m.count[s] > 0)
+                cand = m.pts[s]  # (N, K, 3)
+                cmask = key_ok[:, None] & (jslots < m.count[s][:, None])
+                d2 = jnp.sum((cand - queries[:, None, :]) ** 2, axis=-1)
+                d2 = jnp.where(cmask, d2, jnp.inf)
+                # merge this voxel's top-2 with the running top-2
+                v2, vi = jax.lax.top_k(-d2, 2)  # (N, 2) negated distances
+                vpts = jnp.take_along_axis(cand, vi[:, :, None], axis=-2)
+                all_d2 = jnp.concatenate([best_d2, -v2], axis=-1)  # (N, 4)
+                all_pt = jnp.concatenate([best_pt, vpts], axis=-2)  # (N, 4, 3)
+                t2, ti = jax.lax.top_k(-all_d2, 2)
+                best_d2 = -t2
+                best_pt = jnp.take_along_axis(all_pt, ti[:, :, None], axis=-2)
+
+    found = valid[:, None] & jnp.isfinite(best_d2)
     return best_pt, jnp.where(found, best_d2, jnp.inf), found
 
 

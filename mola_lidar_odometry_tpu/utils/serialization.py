@@ -20,29 +20,60 @@ from typing import List, Union
 import numpy as np
 
 
-def save_metric_map(path: Union[str, Path], voxel_map) -> None:
-    """Persist a VoxelHashMap (the '.mm' analogue)."""
-    np.savez_compressed(
-        str(path),
-        kind="HashedVoxelPointCloud",
-        voxel_size=np.asarray(voxel_map.voxel_size),
-        keys=np.asarray(voxel_map.keys),
-        count=np.asarray(voxel_map.count),
-        pts=np.asarray(voxel_map.pts),
-    )
+def save_metric_map(path: Union[str, Path], maps) -> None:
+    """Persist the local map (the '.mm' analogue).
+
+    ``maps`` is either a single map-layer state or a dict of named layers
+    (any of VoxelHashMap / NdtMap / OccupancyMap).  Array leaves and static
+    floats are stored per layer; the layer class name keys the reload.
+    """
+    import json
+
+    if not isinstance(maps, dict):
+        maps = {"localmap": maps}
+    arrays = {}
+    meta = {}
+    for name, m in maps.items():
+        kind = type(m).__name__
+        meta[name] = {"kind": kind}
+        for fld in m._fields:
+            v = getattr(m, fld)
+            if hasattr(v, "shape"):
+                arrays[f"{name}/{fld}"] = np.asarray(v)
+            else:
+                meta[name][fld] = v
+    np.savez_compressed(str(path), __meta__=json.dumps(meta), **arrays)
 
 
 def load_metric_map(path: Union[str, Path]):
-    from mola_lidar_odometry_tpu.ops.voxel_hash import VoxelHashMap
+    """Load a '.mm.npz' saved by :func:`save_metric_map` → dict of layers."""
+    import json
+
     import jax.numpy as jnp
 
+    from mola_lidar_odometry_tpu.ops.ndt import NdtMap
+    from mola_lidar_odometry_tpu.ops.occupancy import OccupancyMap
+    from mola_lidar_odometry_tpu.ops.voxel_hash import VoxelHashMap
+
+    classes = {
+        "VoxelHashMap": VoxelHashMap,
+        "NdtMap": NdtMap,
+        "OccupancyMap": OccupancyMap,
+    }
     d = np.load(str(path), allow_pickle=False)
-    return VoxelHashMap(
-        voxel_size=jnp.asarray(d["voxel_size"]),
-        keys=jnp.asarray(d["keys"]),
-        count=jnp.asarray(d["count"]),
-        pts=jnp.asarray(d["pts"]),
-    )
+    meta = json.loads(str(d["__meta__"]))
+    out = {}
+    for name, info in meta.items():
+        cls = classes[info["kind"]]
+        kwargs = {}
+        for fld in cls._fields:
+            key = f"{name}/{fld}"
+            if key in d:
+                kwargs[fld] = jnp.asarray(d[key])
+            elif fld in info:
+                kwargs[fld] = info[fld]
+        out[name] = cls(**kwargs)
+    return out
 
 
 def save_simplemap(path: Union[str, Path], keyframes: List, lazy_load: bool = False) -> None:

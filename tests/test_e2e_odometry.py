@@ -82,7 +82,7 @@ def test_quality_and_keyframes(odometry_run):
         assert float(out.quality) > 0.5
     # first frame creates the map; later KFs follow distance thresholds
     assert bool(outs[0].kf_local)
-    assert lo.carry.map.num_points() > 0
+    assert lo.carry.maps["localmap"].num_points() > 0
     assert float(lo.carry.est_range) > 10.0
 
 

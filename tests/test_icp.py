@@ -97,7 +97,19 @@ class TestSolver:
 class TestIcpLoop:
     def make_map(self, pts, voxel=0.7):
         m = vh.VoxelHashMap.create(1 << 16, 16, voxel)
-        return vh.insert(m, PointCloud.from_xyz(jnp.asarray(pts)))
+        return {"localmap": vh.insert(m, PointCloud.from_xyz(jnp.asarray(pts)))}
+
+    @staticmethod
+    def cfg_p2p(threshold, kernel, **kw):
+        return icp.IcpConfig(
+            matchers=(icp.MatcherCfg(threshold=Expr(threshold), local_layer="icp", global_layer="localmap"),),
+            kernel_param=Expr(kernel),
+            **kw,
+        )
+
+    @staticmethod
+    def layers(xyz):
+        return {"icp": (xyz, jnp.ones(xyz.shape[0], bool))}
 
     def test_align_converges_to_truth(self):
         world = structured_world(4000)
@@ -105,16 +117,10 @@ class TestIcpLoop:
         true = se3.se3_exp(jnp.asarray([0.4, -0.2, 0.05, 0.02, -0.01, 0.06], jnp.float32))
         scan_local = se3.transform(se3.inverse(true), jnp.asarray(world[::2]))
 
-        cfg = icp.IcpConfig(
-            max_iterations=60,
-            threshold=Expr("2.0*SIGMA"),
-            kernel_param=Expr("0.5*SIGMA"),
-        )
+        cfg = self.cfg_p2p("2.0*SIGMA", "0.5*SIGMA", max_iterations=60)
         env = {"SIGMA": jnp.float32(1.0)}
         res = jax.jit(
-            lambda m, s: icp.align(
-                m, s, jnp.ones(s.shape[0], bool), Pose.identity(), PosePrior.none(), cfg, env
-            )
+            lambda m, s: icp.align(m, self.layers(s), Pose.identity(), PosePrior.none(), cfg, env)
         )(m, scan_local)
         dt, dr = se3.pose_error_norms(res.pose, true)
         assert float(dt) < 0.02, float(dt)
@@ -127,10 +133,8 @@ class TestIcpLoop:
         world = structured_world(2000)
         m = self.make_map(world)
         far = jnp.asarray(structured_world(500, seed=9) + 500.0)  # disjoint area
-        cfg = icp.IcpConfig(max_iterations=10, threshold=Expr("2.0"), kernel_param=Expr("1.0"))
-        res = icp.align(
-            m, far, jnp.ones(far.shape[0], bool), Pose.identity(), PosePrior.none(), cfg, {}
-        )
+        cfg = self.cfg_p2p("2.0", "1.0", max_iterations=10)
+        res = icp.align(m, self.layers(far), Pose.identity(), PosePrior.none(), cfg, {})
         assert float(res.quality) < 0.05
 
     def test_hook_stop(self):
@@ -138,41 +142,42 @@ class TestIcpLoop:
         m = self.make_map(world)
         true = se3.se3_exp(jnp.asarray([0.8, 0.0, 0.0, 0.0, 0.0, 0.0], jnp.float32))
         scan_local = se3.transform(se3.inverse(true), jnp.asarray(world))
-        cfg = icp.IcpConfig(
-            max_iterations=60,
-            threshold=Expr("3.0"),
-            kernel_param=Expr("1.0"),
-            hook_min_trans=0.15,
-            hook_min_rot=np.deg2rad(0.75),
+        cfg = self.cfg_p2p(
+            "3.0", "1.0", max_iterations=60,
+            hook_min_trans=0.15, hook_min_rot=float(np.deg2rad(0.75)),
         )
-        res = icp.align(
-            m, scan_local, jnp.ones(scan_local.shape[0], bool),
-            Pose.identity(), PosePrior.none(), cfg, {},
-        )
+        res = icp.align(m, self.layers(scan_local), Pose.identity(), PosePrior.none(), cfg, {})
         # the 0.8 m correction exceeds the 0.15 m hook threshold
         assert bool(res.hook_stop)
         # resume with remaining budget from the hook pose: should finish
-        res2 = icp.align(
-            m, scan_local, jnp.ones(scan_local.shape[0], bool),
-            res.pose, PosePrior.none(), cfg._replace_hook_off() if hasattr(cfg, "_replace_hook_off") else icp.IcpConfig(
-                max_iterations=60, threshold=Expr("3.0"), kernel_param=Expr("1.0")
-            ),
-            {},
-        )
+        cfg2 = self.cfg_p2p("3.0", "1.0", max_iterations=60)
+        res2 = icp.align(m, self.layers(scan_local), res.pose, PosePrior.none(), cfg2, {})
         dt, _ = se3.pose_error_norms(res2.pose, true)
         assert float(dt) < 0.03
 
     def test_annealed_threshold_env(self):
         # ICP_ITERATION is injected into the env: threshold shrinks with iters
-        cfg = icp.IcpConfig(
-            max_iterations=5,
-            threshold=Expr("max(1.0, 4.0 - ICP_ITERATION)"),
-            kernel_param=Expr("1.0"),
-        )
+        cfg = self.cfg_p2p("max(1.0, 4.0 - ICP_ITERATION)", "1.0", max_iterations=5)
         world = structured_world(1500)
         m = self.make_map(world)
         scan = jnp.asarray(world[::3])
-        res = icp.align(
-            m, scan, jnp.ones(scan.shape[0], bool), Pose.identity(), PosePrior.none(), cfg, {}
-        )
+        res = icp.align(m, self.layers(scan), Pose.identity(), PosePrior.none(), cfg, {})
         assert float(res.quality) > 0.9  # already aligned: converges immediately
+
+    def test_horn_then_gn_sequence(self):
+        # Solver_Horn handles the coarse offset, GN refines
+        # (extras/icp-pipeline_no_motion_model.yaml:24-36 semantics)
+        world = structured_world(3000)
+        m = self.make_map(world)
+        true = se3.se3_exp(jnp.asarray([0.5, -0.3, 0.1, 0.0, 0.0, 0.1], jnp.float32))
+        scan_local = se3.transform(se3.inverse(true), jnp.asarray(world[::2]))
+        cfg = icp.IcpConfig(
+            matchers=(icp.MatcherCfg(threshold=Expr("4.0"), local_layer="icp", global_layer="localmap"),),
+            kernel_param=Expr("0.5"),
+            max_iterations=80,
+            horn=icp.HornCfg(run_until_translation_correction_smaller_than=5e-4),
+        )
+        res = icp.align(m, self.layers(scan_local), Pose.identity(), PosePrior.none(), cfg, {})
+        dt, dr = se3.pose_error_norms(res.pose, true)
+        assert float(dt) < 0.03
+        assert float(res.quality) > 0.8

@@ -1,0 +1,173 @@
+"""Tests for the NDT and occupancy map layers + point-to-plane ICP."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mola_lidar_odometry_tpu.ops import icp, ndt, occupancy, se3, voxel_hash as vh
+from mola_lidar_odometry_tpu.ops.ndt import NdtMap, _sym_eigen_smallest
+from mola_lidar_odometry_tpu.ops.occupancy import OccupancyMap
+from mola_lidar_odometry_tpu.ops.pointcloud import PointCloud
+from mola_lidar_odometry_tpu.ops.se3 import Pose
+from mola_lidar_odometry_tpu.ops.solver import PosePrior
+from mola_lidar_odometry_tpu.utils.expr import Expr
+
+
+def plane_points(n, normal, d, extent=10.0, noise=0.0, seed=0):
+    """Random points on the plane normal.x = d."""
+    rng = np.random.default_rng(seed)
+    normal = np.asarray(normal, np.float64)
+    normal = normal / np.linalg.norm(normal)
+    # basis of the plane
+    a = np.cross(normal, [1.0, 0.0, 0.0])
+    if np.linalg.norm(a) < 1e-6:
+        a = np.cross(normal, [0.0, 1.0, 0.0])
+    a = a / np.linalg.norm(a)
+    b = np.cross(normal, a)
+    uv = rng.uniform(-extent, extent, (n, 2))
+    pts = d * normal + uv[:, :1] * a + uv[:, 1:] * b
+    pts += rng.normal(0, noise, (n, 3)) if noise else 0.0
+    return pts.astype(np.float32)
+
+
+class TestSymEigen:
+    def test_matches_numpy(self):
+        rng = np.random.default_rng(3)
+        A = rng.normal(size=(64, 3, 3)).astype(np.float32)
+        cov = np.einsum("nij,nkj->nik", A, A)  # SPD batch
+        packed = np.stack(
+            [cov[:, 0, 0], cov[:, 1, 1], cov[:, 2, 2], cov[:, 0, 1], cov[:, 0, 2], cov[:, 1, 2]],
+            -1,
+        )
+        v, e_min, e_mid = _sym_eigen_smallest(jnp.asarray(packed))
+        w_np = np.linalg.eigvalsh(cov)
+        np.testing.assert_allclose(np.asarray(e_min), w_np[:, 0], rtol=2e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(e_mid), w_np[:, 1], rtol=2e-3, atol=1e-3)
+        # eigenvector check: A v = e_min v
+        Av = np.einsum("nij,nj->ni", cov, np.asarray(v))
+        np.testing.assert_allclose(
+            Av, w_np[:, :1] * np.asarray(v), rtol=1e-2, atol=5e-2
+        )
+
+
+class TestNdtMap:
+    def test_plane_fit_and_query(self):
+        pts = plane_points(2000, [0.0, 0.0, 1.0], 0.0, extent=5.0, noise=0.01)
+        m = NdtMap.create(1 << 12, 1.0, max_eigen_ratio=0.05)
+        m = ndt.insert(m, PointCloud.from_xyz(jnp.asarray(pts)))
+        assert int(m.num_voxels()) > 20
+        assert bool(jnp.any(m.plane_ok))
+        # normals of plane voxels should be ~ +-z
+        nz = np.abs(np.asarray(m.normal)[np.asarray(m.plane_ok)][:, 2])
+        assert np.all(nz > 0.99)
+
+        # query a point 0.3 above the plane: projection lands on the plane
+        q = jnp.asarray([[1.2, 0.7, 0.3]], jnp.float32)
+        pt, nrm, d2, found = ndt.query_p2pl(m, q, jnp.ones(1, bool))
+        assert bool(found[0])
+        assert abs(float(jnp.sqrt(d2[0])) - 0.3) < 0.05
+        assert abs(float(pt[0, 2])) < 0.05
+
+    def test_p2p_fallback_mean(self):
+        pts = plane_points(500, [0, 0, 1.0], 0.0, extent=3.0)
+        m = NdtMap.create(1 << 12, 1.0)
+        m = ndt.insert(m, PointCloud.from_xyz(jnp.asarray(pts)))
+        q = jnp.asarray([[0.5, 0.5, 0.2]], jnp.float32)
+        mu, d2, found = ndt.query_p2p(m, q, jnp.ones(1, bool))
+        assert bool(found[0]) and float(d2[0]) < 1.0
+
+    def test_prune(self):
+        pts = plane_points(500, [0, 0, 1.0], 0.0, extent=20.0)
+        m = NdtMap.create(1 << 13, 1.0)
+        m = ndt.insert(m, PointCloud.from_xyz(jnp.asarray(pts)))
+        n0 = int(m.num_voxels())
+        m = ndt.prune_farther_than(m, jnp.zeros(3), 5.0)
+        assert int(m.num_voxels()) < n0
+
+    def test_icp_point2plane_converges(self):
+        # two orthogonal planes + ground constrain all 6 DoF loosely; use
+        # 3 planes for a well-posed problem
+        pts = np.concatenate(
+            [
+                plane_points(1500, [0, 0, 1.0], 0.0, extent=10),
+                plane_points(1500, [1.0, 0, 0], 8.0, extent=6, seed=1),
+                plane_points(1500, [0, 1.0, 0], -7.0, extent=6, seed=2),
+            ]
+        )
+        m = NdtMap.create(1 << 14, 1.0)
+        m = ndt.insert(m, PointCloud.from_xyz(jnp.asarray(pts)))
+        true = se3.se3_exp(jnp.asarray([0.3, -0.2, 0.1, 0.02, -0.03, 0.04], jnp.float32))
+        scan = se3.transform(se3.inverse(true), jnp.asarray(pts[::3]))
+        cfg = icp.IcpConfig(
+            matchers=(
+                icp.MatcherCfg(
+                    kind="point2plane", local_layer="icp", global_layer="localmap",
+                    threshold=Expr("1.0"),
+                ),
+                icp.MatcherCfg(
+                    kind="point2point", local_layer="icp", global_layer="localmap",
+                    threshold=Expr("2.0"),
+                ),
+            ),
+            kernel_param=Expr("0.5"),
+            max_iterations=60,
+        )
+        res = icp.align(
+            {"localmap": m}, {"icp": (scan, jnp.ones(scan.shape[0], bool))},
+            Pose.identity(), PosePrior.none(), cfg, {},
+        )
+        dt, dr = se3.pose_error_norms(res.pose, true)
+        assert float(dt) < 0.03, float(dt)
+        assert float(dr) < 5e-3
+        assert float(res.quality) > 0.7
+
+
+class TestOccupancyMap:
+    def test_hits_and_free_space(self):
+        m = OccupancyMap.create(1 << 14, 0.25, max_ray_samples=128)
+        # wall of points at x=5, sensor at origin
+        ys = np.linspace(-2, 2, 100).astype(np.float32)
+        pts = np.stack([np.full(100, 5.0), ys, np.zeros(100)], 1)
+        pc = PointCloud.from_xyz(jnp.asarray(pts))
+        m = occupancy.insert(m, pc, sensor_origin=jnp.zeros(3))
+        assert int(m.num_voxels()) > 10  # occupied wall voxels
+
+        # endpoint voxel occupied, mid-ray voxel free
+        tgt, d2, found = occupancy.query_p2p(
+            m, jnp.asarray([[5.0, 0.0, 0.0], [2.5, 0.0, 0.0]]), jnp.ones(2, bool)
+        )
+        assert bool(found[0]) and float(d2[0]) < 0.1
+        assert not bool(found[1])  # free space: no occupied voxel nearby
+
+    def test_repeated_miss_does_not_occupy(self):
+        m = OccupancyMap.create(1 << 12, 0.25, max_ray_samples=64)
+        pts = np.asarray([[4.0, 0.0, 0.0]], np.float32)
+        pc = PointCloud.from_xyz(jnp.asarray(pts))
+        for _ in range(5):
+            m = occupancy.insert(m, pc, sensor_origin=jnp.zeros(3))
+        occ = np.asarray(m.occupied())
+        keys = np.asarray(m.keys)[occ]
+        # only the endpoint voxel (x ~ 4.0 -> coord 16) is occupied
+        assert keys.shape[0] >= 1
+        assert np.all(keys[:, 0] >= 15)
+
+    def test_prune(self):
+        m = OccupancyMap.create(1 << 12, 0.5, ray_trace_free_space=False)
+        pts = np.stack([np.linspace(0, 30, 60)] * 3, 1).astype(np.float32)
+        m = occupancy.insert(m, PointCloud.from_xyz(jnp.asarray(pts)))
+        n0 = int(m.num_voxels())
+        m = occupancy.prune_farther_than(m, jnp.zeros(3), 10.0)
+        assert int(m.num_voxels()) < n0
+
+
+class TestQueryNn2:
+    def test_two_nearest(self):
+        m = vh.VoxelHashMap.create(1 << 10, 8, 1.0)
+        pts = jnp.asarray([[0.1, 0.1, 0.1], [0.4, 0.1, 0.1], [0.9, 0.9, 0.9]], jnp.float32)
+        m = vh.insert(m, PointCloud.from_xyz(pts))
+        q = jnp.asarray([[0.0, 0.1, 0.1]], jnp.float32)
+        nn2, d2, found = vh.query_nn2(m, q, jnp.ones(1, bool))
+        assert bool(found[0, 0]) and bool(found[0, 1])
+        np.testing.assert_allclose(np.asarray(nn2[0, 0]), [0.1, 0.1, 0.1], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(nn2[0, 1]), [0.4, 0.1, 0.1], atol=1e-6)
+        assert float(d2[0, 0]) <= float(d2[0, 1])
