@@ -1,0 +1,131 @@
+"""Batched fleet evaluation — the TPU-native replacement for GNU parallel.
+
+The reference parallelizes dataset sequences with ``parallel -j N`` across
+CPU processes (reference eval/cli_kitti.sh:23; SURVEY.md §2.4).  Here the
+same fan-out runs as ONE SPMD program: B independent odometry instances are
+vmapped over a stacked carry and driven by ``lax.scan`` over the scan
+sequence, optionally sharded over a device mesh (parallel/batch.py).
+
+Each instance gets a different simulated world/trajectory (seed offset), so
+this doubles as the 64-way datagen mode from BASELINE.md.  Reports
+per-instance gauge-aligned ATE-RMSE vs the simulator ground truth and fleet
+throughput.
+
+Usage:
+    python eval/fleet_eval.py --batch 8 --frames 25 [--rings 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=25)
+    ap.add_argument("--rings", type=int, default=32)
+    ap.add_argument("--azimuth", type=int, default=1024)
+    ap.add_argument("--pipeline", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "pipelines", "lidar3d-default.yaml"))
+    ap.add_argument("--raw-capacity", type=int, default=1 << 16)
+    ap.add_argument("--map-slots", type=int, default=1 << 17)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mola_lidar_odometry_tpu.models.spec import spec_from_yaml
+    from mola_lidar_odometry_tpu.parallel import batch as pb
+    from mola_lidar_odometry_tpu.utils import sim
+    from mola_lidar_odometry_tpu.utils.config import load_yaml_file
+
+    cfg = load_yaml_file(args.pipeline, env={})
+    spec = spec_from_yaml(
+        cfg,
+        raw_capacity=args.raw_capacity,
+        map_slots=args.map_slots,
+        layer_capacities={
+            "raw": args.raw_capacity,
+            "decimated_for_map_raw": 1 << 15,
+            "decimated_for_icp_skewed": 1 << 13,
+            "decimated_for_icp": 1 << 13,
+            "decimated_for_map": 1 << 15,
+        },
+    )
+
+    B, F = args.batch, args.frames
+    print(f"simulating {B} independent sequences x {F} frames ...", file=sys.stderr)
+    trajs, stacks = [], []
+    for b in range(B):
+        traj, scans = sim.simulate_sequence(
+            F, world_seed=b, traj_seed=100 + b,
+            n_rings=args.rings, n_azimuth=args.azimuth,
+        )
+        trajs.append(traj)
+        stacks.append(scans)
+
+    per_step = [
+        pb.pack_scans(
+            spec,
+            [stacks[b][k] for b in range(B)],
+            [trajs[b].stamps[k] for b in range(B)],
+        )
+        for k in range(F)
+    ]
+    seq = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_step)
+    seq = jax.device_put(seq)
+
+    fstep = pb.make_fleet_step(spec)
+
+    @jax.jit
+    def run(carry, seq):
+        carry, outs = jax.lax.scan(fstep, carry, seq)
+        return carry, (outs.pose_R, outs.pose_t, outs.quality, outs.accepted)
+
+    carry0 = pb.init_fleet_carry(spec, B)
+    t0 = time.time()
+    _, (Rs, ts, q, acc) = run(carry0, seq)
+    jax.block_until_ready(ts)
+    t_compile = time.time() - t0
+
+    t0 = time.time()
+    _, (Rs, ts, q, acc) = run(pb.init_fleet_carry(spec, B), seq)
+    jax.block_until_ready(ts)
+    dt = time.time() - t0
+
+    # gauge-aligned ATE-RMSE per instance
+    Rs, ts = np.asarray(Rs), np.asarray(ts)  # (F, B, 3, 3), (F, B, 3)
+    ates = []
+    for b in range(B):
+        R0, t0_ = trajs[b].R[0], trajs[b].t[0]
+        errs = []
+        for k in range(F):
+            gt_t = R0.T @ (trajs[b].t[k] - t0_)
+            errs.append(np.linalg.norm(ts[k, b] - gt_t))
+        ates.append(float(np.sqrt(np.mean(np.square(errs)))))
+
+    result = {
+        "batch": B,
+        "frames": F,
+        "scans_per_sec_per_chip": round(B * F / dt, 2),
+        "compile_s": round(t_compile, 1),
+        "run_s": round(dt, 3),
+        "ate_rmse_per_instance_m": [round(a, 3) for a in ates],
+        "ate_rmse_mean_m": round(float(np.mean(ates)), 3),
+        "mean_quality": round(float(np.asarray(q)[1:].mean()), 3),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

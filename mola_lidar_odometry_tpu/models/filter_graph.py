@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from mola_lidar_odometry_tpu.ops import filters as F
 from mola_lidar_odometry_tpu.ops.pointcloud import PointCloud
-from mola_lidar_odometry_tpu.utils.config import as_bool, as_str
+from mola_lidar_odometry_tpu.utils.config import as_bool, as_float, as_str
 from mola_lidar_odometry_tpu.utils.expr import Expr, as_expr
 
 
@@ -125,28 +125,75 @@ class NormalizeIntensityOp:
 
 @dataclass(frozen=True)
 class ByIntensityOp:
+    """FilterByIntensity: route points by normalized intensity into
+    low/between/high output layers (extras/lidar3d-intensity.yaml:271-276)."""
+
     input: str
-    output: str
     low: Expr
     high: Expr
+    out_low: Optional[str] = None
+    out_between: Optional[str] = None
+    out_high: Optional[str] = None
 
     def __call__(self, layers, env):
-        layers[self.output] = F.filter_by_intensity(
-            layers[self.input], self.low(env), self.high(env)
-        )
+        pc = layers[self.input]
+        lo, hi = self.low(env), self.high(env)
+        if self.out_low:
+            layers[self.out_low] = pc.with_mask(pc.intensity < lo)
+        if self.out_between:
+            layers[self.out_between] = pc.with_mask(
+                (pc.intensity >= lo) & (pc.intensity <= hi)
+            )
+        if self.out_high:
+            layers[self.out_high] = pc.with_mask(pc.intensity > hi)
 
 
 @dataclass(frozen=True)
 class CurvatureOp:
+    """FilterCurvature: split by local curvature along each ring
+    (extras/lidar3d-edges.yaml:252-259)."""
+
     input: str
-    output: str
+    out_larger: Optional[str] = None
+    out_smaller: Optional[str] = None
     max_cosine: float = 0.5
     min_clearance: float = 0.02
+    max_gap: float = 1e9
 
     def __call__(self, layers, env):
-        layers[self.output] = F.filter_curvature(
-            layers[self.input], max_cosine=self.max_cosine, min_clearance=self.min_clearance
+        pc = layers[self.input]
+        edge = F.curvature_mask(
+            pc,
+            max_cosine=self.max_cosine,
+            min_clearance=self.min_clearance,
+            max_gap=self.max_gap,
         )
+        if self.out_larger:
+            layers[self.out_larger] = pc.with_mask(edge)
+        if self.out_smaller:
+            layers[self.out_smaller] = pc.with_mask(~edge)
+
+
+@dataclass(frozen=True)
+class EdgesFromRangeImageOp:
+    """GeneratorEdgesFromRangeImage: split the organized 'raw' scan into
+    edge and plane point layers (reference pipelines/rgbd.yaml:233-244)."""
+
+    target_layer: str = "edges"
+    planes_target_layer: Optional[str] = "planes"
+    score_threshold: float = 10.0
+    row_window_length: int = 6
+
+    def __call__(self, layers, env):
+        pc = layers["raw"]
+        edge = F.range_image_edge_mask(
+            pc,
+            score_threshold=self.score_threshold,
+            row_window_length=self.row_window_length,
+        )
+        layers[self.target_layer] = pc.with_mask(edge)
+        if self.planes_target_layer:
+            layers[self.planes_target_layer] = pc.with_mask(~edge)
 
 
 Pipeline = List[object]
@@ -161,6 +208,33 @@ def apply_pipeline(pipeline: Pipeline, layers: Dict[str, PointCloud], env) -> Di
 
 def deskew_ops(pipeline: Pipeline) -> List[DeskewOp]:
     return [op for op in pipeline if isinstance(op, DeskewOp)]
+
+
+def build_generator_pipeline(yaml_list: Optional[Sequence[dict]]) -> Pipeline:
+    """Compile the ``observations_generator`` list.
+
+    The plain Generator (raw observation -> 'raw' layer) is implicit in the
+    step (the Scan input IS the raw layer); specialised generators become
+    ops that derive further layers from it.
+    """
+    out: Pipeline = []
+    for entry in yaml_list or []:
+        cls = as_str(entry.get("class_name", "")).split("::")[-1]
+        p = entry.get("params", {}) or {}
+        if cls == "Generator":
+            continue  # implicit 'raw'
+        if cls == "GeneratorEdgesFromRangeImage":
+            out.append(
+                EdgesFromRangeImageOp(
+                    target_layer=as_str(p.get("target_layer", "edges")),
+                    planes_target_layer=as_str(p.get("planes_target_layer", "")) or None,
+                    score_threshold=float(as_float(p.get("score_threshold"), 10.0)),
+                    row_window_length=int(float(p.get("row_window_length", 6) or 6)),
+                )
+            )
+        else:
+            raise ValueError(f"Unsupported generator class {cls!r}")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -249,16 +323,23 @@ def build_pipeline(
             out.append(
                 ByIntensityOp(
                     input=as_str(p["input_pointcloud_layer"]),
-                    output=as_str(p.get("output_layer_between", p.get("output_pointcloud_layer", "filtered"))),
                     low=as_expr(p.get("low_threshold", 0.0)),
                     high=as_expr(p.get("high_threshold", 1.0)),
+                    out_low=as_str(p.get("output_layer_low_intensity", "")) or None,
+                    out_between=as_str(p.get("output_layer_mid_intensity",
+                                             p.get("output_layer_between", ""))) or None,
+                    out_high=as_str(p.get("output_layer_high_intensity", "")) or None,
                 )
             )
         elif short == "FilterCurvature":
             out.append(
                 CurvatureOp(
                     input=as_str(p["input_pointcloud_layer"]),
-                    output=as_str(p.get("output_layer_larger_curvature", "edges")),
+                    out_larger=as_str(p.get("output_layer_larger_curvature", "")) or None,
+                    out_smaller=as_str(p.get("output_layer_smaller_curvature", "")) or None,
+                    max_cosine=float(as_float(p.get("max_cosine"), 0.5)),
+                    min_clearance=float(as_float(p.get("min_clearance"), 0.02)),
+                    max_gap=float(as_float(p.get("max_gap"), 1e9)),
                 )
             )
         elif short == "FilterMerge":

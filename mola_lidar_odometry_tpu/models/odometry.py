@@ -78,6 +78,8 @@ class LidarOdometry:
         self.simplemap: List[SimpleMapKeyframe] = []
         self.traces: List[Dict[str, float]] = []
         self._gnss_buffer: List[dict] = []  # last N GNSS observations
+        self._imu_buffer: List[dict] = []
+        self._last_odom = None  # previous wheel-odometry (R, t)
         self.frames_processed = 0
         self.frames_dropped = 0
 
@@ -86,9 +88,78 @@ class LidarOdometry:
         return any(r.fullmatch(label) or r.match(label) for r in self._label_regexes)
 
     def on_gnss(self, stamp: float, data: dict) -> None:
+        """Ring-buffer GNSS observations for simple-map keyframes
+        (reference onGPSImpl, LidarOdometry.cpp:1392-1414; buffer of 100)."""
         self._gnss_buffer.append({"stamp": stamp, **data})
         if len(self._gnss_buffer) > 100:
             self._gnss_buffer.pop(0)
+
+    def on_imu(self, stamp: float, data: dict) -> None:
+        """IMU intake. The reference profiles and otherwise ignores IMU
+        (onIMUImpl is a stub, LidarOdometry.cpp:1333-1338); we keep a small
+        buffer so downstream consumers can use it."""
+        with self.profiler.enter("onIMU"):
+            self._imu_buffer.append({"stamp": stamp, **data})
+            if len(self._imu_buffer) > 1000:
+                self._imu_buffer.pop(0)
+
+    def on_wheel_odometry(self, stamp: float, pose: "np.ndarray") -> None:
+        """Fuse wheel odometry (reference onWheelOdometryImpl ->
+        NavStateFuse::fuse_odometry, LidarOdometry.cpp:1357-1373).
+
+        ``pose`` is a 4x4 (or (R, t)) absolute odometry-frame pose.  The
+        relative motion since the previous odometry reading, composed onto
+        the current estimate, enters the navstate window as a pose sample —
+        feeding the velocity model between LiDAR scans.
+        """
+        from mola_lidar_odometry_tpu.models import navstate as ns
+        from mola_lidar_odometry_tpu.ops import se3
+
+        if isinstance(pose, tuple):
+            R, t = pose
+        else:
+            pose = np.asarray(pose)
+            R, t = pose[:3, :3], pose[:3, 3]
+        with self.profiler.enter("onWheelOdometry"):
+            if self._last_odom is not None:
+                R0, t0 = self._last_odom
+                rel_R = R0.T @ R
+                rel_t = R0.T @ (t - t0)
+                cur = se3.Pose(self.carry.pose_R, self.carry.pose_t)
+                new = se3.compose(
+                    cur,
+                    se3.Pose(jnp.asarray(rel_R, jnp.float32), jnp.asarray(rel_t, jnp.float32)),
+                )
+                self.carry = self.carry._replace(
+                    nav=ns.fuse_pose(self.carry.nav, stamp, new),
+                    pose_R=new.R,
+                    pose_t=new.t,
+                )
+            self._last_odom = (np.asarray(R, np.float64), np.asarray(t, np.float64))
+
+    # -- relocalization (reference LidarOdometry.h:102-107, declared but
+    # stubbed at LidarOdometry.cpp:2222-2230; implemented for real here) ---
+    def relocalize_near_pose_pdf(self, R: "np.ndarray", t: "np.ndarray") -> None:
+        """Re-seed the estimator near the given pose: reset the kinematic
+        state and continue localizing against the existing local map."""
+        self.carry = self.carry._replace(
+            pose_R=jnp.asarray(R, jnp.float32),
+            pose_t=jnp.asarray(t, jnp.float32),
+            nav=type(self.carry.nav).empty(),
+            sigma=jnp.float32(0.0),  # re-open the adaptive threshold
+        )
+
+    def relocalize_from_gnss(self) -> bool:
+        """Seed position from the newest buffered GNSS fix (ENU expected in
+        ``data['enu']``).  Returns False if no usable fix is buffered."""
+        for g in reversed(self._gnss_buffer):
+            enu = g.get("enu")
+            if enu is not None:
+                self.relocalize_near_pose_pdf(
+                    np.asarray(self.carry.pose_R), np.asarray(enu, np.float64)
+                )
+                return True
+        return False
 
     def on_lidar_scan(
         self,

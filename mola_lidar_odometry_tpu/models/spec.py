@@ -90,6 +90,7 @@ class OdometrySpec:
     layer_capacities: Dict[str, int] = field(default_factory=dict)
 
     # pipelines
+    generator_pipeline: Pipeline = field(default_factory=list)
     adjust_pipeline: Pipeline = field(default_factory=list)
     filter1: Pipeline = field(default_factory=list)
     filter2: Pipeline = field(default_factory=list)
@@ -203,6 +204,9 @@ def _icp_from_yaml(block: dict, spec_hook: Tuple[float, float]) -> Tuple[IcpConf
                     allow_match_already_matched=as_bool(
                         mp.get("allowMatchAlreadyMatchedGlobalPoints"), default=True
                     ),
+                    search_radius=as_float(mp.get("searchRadius"), 0.8),
+                    min_plane_points=int(float(mp.get("minimumPlanePoints", 6) or 6)),
+                    plane_eigen_threshold=as_float(mp.get("planeEigenThreshold"), 1e-2),
                 )
             )
     if not mcfgs:
@@ -273,6 +277,9 @@ def spec_from_yaml(cfg: dict, **overrides) -> OdometrySpec:
     init_loc = cfg.get("initial_localization", {}) or {}
 
     # filter pipelines
+    from mola_lidar_odometry_tpu.models.filter_graph import build_generator_pipeline
+
+    gen = build_generator_pipeline(cfg.get("observations_generator"))
     adjust = build_pipeline(cfg.get("observations_filter_adjust_timestamps"), layer_capacities)
     f1 = build_pipeline(cfg.get("observations_filter_1st_pass"), layer_capacities)
     f2 = build_pipeline(cfg.get("observations_filter_2nd_pass"), layer_capacities)
@@ -304,6 +311,7 @@ def spec_from_yaml(cfg: dict, **overrides) -> OdometrySpec:
     spec = OdometrySpec(
         raw_capacity=raw_capacity,
         layer_capacities=layer_capacities,
+        generator_pipeline=gen,
         adjust_pipeline=adjust,
         filter1=f1,
         filter2=f2,

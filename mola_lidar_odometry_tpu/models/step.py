@@ -295,6 +295,7 @@ def make_step(spec: OdometrySpec) -> Callable[[Carry, Scan], Tuple[Carry, StepOu
 
         # ---- 4-5. generators + filter pipelines ----
         layers: Dict[str, PointCloud] = {"raw": raw_pc}
+        layers = apply_pipeline(spec.generator_pipeline, layers, env)
         layers = apply_pipeline(spec.adjust_pipeline, layers, env)
         layers = apply_pipeline(spec.filter1, layers, env)
         layers = apply_pipeline(spec.filter2, layers, env)
@@ -457,7 +458,10 @@ def make_step(spec: OdometrySpec) -> Callable[[Carry, Scan], Tuple[Carry, StepOu
                 valid=insert_pc.valid & update_local_map,
             )
             maps_post[op.target_map_layer] = maps_ops.insert(
-                maps_post[op.target_map_layer], insert_global, sensor_origin=new_pose.t
+                maps_post[op.target_map_layer],
+                insert_global,
+                sensor_origin=new_pose.t,
+                layer_def=layer_defs[op.target_map_layer],
             )
         for name, d in layer_defs.items():
             prune_dist = d.remove_voxels_farther_than(env_map)

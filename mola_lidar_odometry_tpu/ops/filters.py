@@ -179,16 +179,23 @@ def filter_by_intensity(pc: PointCloud, low, high) -> PointCloud:
     return pc.with_mask(keep)
 
 
-def filter_curvature(
-    pc: PointCloud, *, max_cosine: float = 0.5, min_clearance: float = 0.02, window: int = 2
-) -> PointCloud:
-    """Keep high-curvature ("edge") points along the scan order (FilterCurvature).
+def curvature_mask(
+    pc: PointCloud,
+    *,
+    max_cosine: float = 0.5,
+    min_clearance: float = 0.02,
+    max_gap: float = 1e9,
+    window: int = 2,
+) -> jax.Array:
+    """High-curvature ("edge") mask along scan order (FilterCurvature).
 
     The reference's FilterCurvature walks each ring and scores a point by the
     angle between its neighbors (extras/lidar3d-edges.yaml:252-259).  Here the
     score is the cosine of the angle between the vectors to the +/-``window``
-    neighbors in buffer order within the same ring; edges keep
+    neighbors in buffer order within the same ring; edges have
     ``cos > -max_cosine`` ... points on straight lines have cos ~ -1.
+    ``max_gap`` rejects points whose neighbors are farther than this (range
+    discontinuities, not edges).
     """
     prev = jnp.roll(pc.xyz, window, axis=0)
     nxt = jnp.roll(pc.xyz, -window, axis=0)
@@ -198,5 +205,38 @@ def filter_curvature(
     na = jnp.linalg.norm(a, axis=-1)
     nb = jnp.linalg.norm(b, axis=-1)
     cos = jnp.sum(a * b, axis=-1) / jnp.maximum(na * nb, 1e-9)
-    is_edge = (cos > -max_cosine) & (na > min_clearance) & (nb > min_clearance) & ring_ok
-    return pc.with_mask(is_edge)
+    clear = (na > min_clearance) & (nb > min_clearance) & (na < max_gap) & (nb < max_gap)
+    return (cos > -max_cosine) & clear & ring_ok
+
+
+def filter_curvature(pc: PointCloud, **kw) -> PointCloud:
+    """Keep high-curvature ("edge") points (FilterCurvature, larger side)."""
+    return pc.with_mask(curvature_mask(pc, **kw))
+
+
+def range_image_edge_mask(
+    pc: PointCloud, *, score_threshold: float = 10.0, row_window_length: int = 6
+) -> jax.Array:
+    """Edge score over an organized scan (GeneratorEdgesFromRangeImage).
+
+    The reference extracts edge pixels from organized range images by a
+    row-window range-difference score (pipelines/rgbd.yaml:233-244:
+    ``score_threshold`` 10, ``row_window_length`` 6).  Points are assumed
+    stored row-major with ``ring`` = row index (our organized-scan layout);
+    the LOAM-style score is ``sum_j |r_{i+j} - r_i| / r_i`` over the +/-
+    window within the same row, scaled x100 to match the reference's
+    integer-centric threshold range.
+    """
+    r = jnp.linalg.norm(pc.xyz, axis=-1)
+    score = jnp.zeros_like(r)
+    in_row = jnp.ones_like(r, dtype=bool)
+    w = max(1, row_window_length // 2)
+    for j in range(1, w + 1):
+        for sgn in (-1, 1):
+            rj = jnp.roll(r, sgn * j)
+            ring_ok = jnp.roll(pc.ring, sgn * j) == pc.ring
+            vj = jnp.roll(pc.valid, sgn * j) & ring_ok
+            score = score + jnp.where(vj, jnp.abs(rj - r), 0.0)
+            in_row = in_row & vj
+    rel = 100.0 * score / jnp.maximum(r, 1e-6)
+    return pc.valid & in_row & (rel > score_threshold)

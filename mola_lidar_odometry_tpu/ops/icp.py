@@ -64,6 +64,10 @@ class MatcherCfg:
     run_from_iteration: int = 0
     run_up_to_iteration: int = 0  # 0 = unbounded
     allow_match_already_matched: bool = True
+    # point2plane against point maps (on-the-fly plane fit; rgbd.yaml:143-151)
+    search_radius: float = 0.8
+    min_plane_points: int = 6
+    plane_eigen_threshold: float = 1e-2
 
 
 @dataclass(frozen=True)
@@ -118,7 +122,14 @@ def _matcher_blocks(
             active = active & (it <= mc.run_up_to_iteration)
         q = se3.transform(pose, xyz)
         if mc.kind == "point2plane":
-            tgt, nrm, d2, found = maps_ops.query_p2pl(m, q, valid)
+            tgt, nrm, d2, found = maps_ops.query_p2pl(
+                m,
+                q,
+                valid,
+                search_radius=mc.search_radius,
+                min_plane_points=mc.min_plane_points,
+                plane_eigen_threshold=mc.plane_eigen_threshold,
+            )
             pv = found & (d2 < thr * thr) & active
             blocks.append(PairingBlock("p2pl", xyz, tgt, nrm, pv, mc.weight))
         elif mc.pairings_per_point >= 2:

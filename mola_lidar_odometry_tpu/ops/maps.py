@@ -54,6 +54,7 @@ class MapLayerDef:
     clamp_max: float = 0.95
     occupied_threshold: float = 0.6
     ray_trace_free_space: bool = True
+    max_ray_samples: int = 512  # TPU-static free-space sample budget per beam
 
     def create(self, voxel_size) -> Any:
         cls = self.map_class
@@ -76,7 +77,6 @@ class MapLayerDef:
                 clamp_min=self.clamp_min,
                 clamp_max=self.clamp_max,
                 occupied_threshold=self.occupied_threshold,
-                ray_trace_free_space=self.ray_trace_free_space,
             )
         raise ValueError(f"Unsupported metric map class {cls!r}")
 
@@ -115,13 +115,19 @@ def map_def_from_yaml(name: str, md: dict, num_slots: int) -> MapLayerDef:
 # ---------------------------------------------------------------------------
 
 
-def insert(state, pc: PointCloud, sensor_origin=None):
+def insert(state, pc: PointCloud, sensor_origin=None, layer_def: "MapLayerDef" = None):
     if isinstance(state, voxel_hash.VoxelHashMap):
         return voxel_hash.insert(state, pc)
     if isinstance(state, ndt.NdtMap):
         return ndt.insert(state, pc)
     if isinstance(state, occupancy.OccupancyMap):
-        return occupancy.insert(state, pc, sensor_origin)
+        return occupancy.insert(
+            state,
+            pc,
+            sensor_origin,
+            ray_trace=layer_def.ray_trace_free_space if layer_def else True,
+            max_ray_samples=layer_def.max_ray_samples if layer_def else 512,
+        )
     raise TypeError(type(state))
 
 
@@ -159,17 +165,40 @@ def query_p2p(state, queries, valid) -> Tuple[jax.Array, jax.Array, jax.Array]:
 
 
 def query_p2p2(state, queries, valid):
-    """Two-nearest query (pairingsPerPoint=2); point-map layers only."""
+    """Two-nearest query (pairingsPerPoint=2)."""
     if isinstance(state, voxel_hash.VoxelHashMap):
         return voxel_hash.query_nn2(state, queries, valid)
+    if isinstance(state, occupancy.OccupancyMap):
+        return occupancy.query_p2p2(state, queries, valid)
     raise TypeError(f"pairingsPerPoint=2 unsupported for {type(state)}")
 
 
-def query_p2pl(state, queries, valid):
-    """Point-to-plane query: returns (plane_pt, normal, dist2, found)."""
+def query_p2pl(
+    state,
+    queries,
+    valid,
+    *,
+    search_radius: float = 0.8,
+    min_plane_points: int = 6,
+    plane_eigen_threshold: float = 1e-2,
+):
+    """Point-to-plane query: returns (plane_pt, normal, dist2, found).
+
+    NDT layers use their precomputed per-voxel planes; point layers fit a
+    local plane per query (Matcher_Point2Plane vs point maps, rgbd.yaml:143).
+    """
     if isinstance(state, ndt.NdtMap):
         return ndt.query_p2pl(state, queries, valid)
-    raise TypeError(f"point-to-plane matching needs an NDT layer, got {type(state)}")
+    if isinstance(state, voxel_hash.VoxelHashMap):
+        return voxel_hash.query_p2pl(
+            state,
+            queries,
+            valid,
+            search_radius=search_radius,
+            min_plane_points=min_plane_points,
+            plane_eigen_threshold=plane_eigen_threshold,
+        )
+    raise TypeError(f"point-to-plane matching unsupported for {type(state)}")
 
 
 def as_pointcloud(state, capacity: int) -> PointCloud:

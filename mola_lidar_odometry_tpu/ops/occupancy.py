@@ -47,15 +47,12 @@ class OccupancyMap(NamedTuple):
     keys: jax.Array  # (V, 3) i32
     used: jax.Array  # (V,) bool — slot owned (free OR occupied knowledge)
     logodds: jax.Array  # (V,) f32
-
-    # static insert parameters (plain floats; part of the trace constants)
-    l_hit: float = _logit(0.7)
-    l_miss: float = _logit(0.3)
-    l_min: float = _logit(0.05)
-    l_max: float = _logit(0.95)
-    l_occ: float = _logit(0.6)  # occupiedThreshold
-    ray_trace: bool = True
-    max_ray_samples: int = 512
+    # insert/likelihood parameters, as scalar pytree leaves (jit-safe)
+    l_hit: jax.Array = _logit(0.7)
+    l_miss: jax.Array = _logit(0.3)
+    l_min: jax.Array = _logit(0.05)
+    l_max: jax.Array = _logit(0.95)
+    l_occ: jax.Array = _logit(0.6)  # occupiedThreshold
 
     @property
     def num_slots(self) -> int:
@@ -80,8 +77,6 @@ class OccupancyMap(NamedTuple):
         clamp_min: float = 0.05,
         clamp_max: float = 0.95,
         occupied_threshold: float = 0.6,
-        ray_trace_free_space: bool = True,
-        max_ray_samples: int = 512,
     ) -> "OccupancyMap":
         if num_slots & (num_slots - 1):
             raise ValueError("num_slots must be a power of two")
@@ -90,13 +85,11 @@ class OccupancyMap(NamedTuple):
             keys=jnp.zeros((num_slots, 3), jnp.int32),
             used=jnp.zeros((num_slots,), bool),
             logodds=jnp.zeros((num_slots,), jnp.float32),
-            l_hit=_logit(prob_hit),
-            l_miss=_logit(prob_miss),
-            l_min=_logit(clamp_min),
-            l_max=_logit(clamp_max),
-            l_occ=_logit(occupied_threshold),
-            ray_trace=ray_trace_free_space,
-            max_ray_samples=max_ray_samples,
+            l_hit=jnp.float32(_logit(prob_hit)),
+            l_miss=jnp.float32(_logit(prob_miss)),
+            l_min=jnp.float32(_logit(clamp_min)),
+            l_max=jnp.float32(_logit(clamp_max)),
+            l_occ=jnp.float32(_logit(occupied_threshold)),
         )
 
     def clear(self) -> "OccupancyMap":
@@ -120,10 +113,18 @@ def _scatter_update(m: OccupancyMap, xyz, valid, delta) -> OccupancyMap:
     return m._replace(keys=keys, used=used, logodds=lo)
 
 
-def insert(m: OccupancyMap, pc: PointCloud, sensor_origin=None) -> OccupancyMap:
-    """Insert a scan (global frame); ``sensor_origin`` (3,) enables the
-    free-space pass (defaults to the origin when ray tracing is on)."""
-    if m.ray_trace:
+def insert(
+    m: OccupancyMap,
+    pc: PointCloud,
+    sensor_origin=None,
+    *,
+    ray_trace: bool = True,
+    max_ray_samples: int = 512,
+) -> OccupancyMap:
+    """Insert a scan (global frame); ``sensor_origin`` (3,) is the ray origin
+    for the free-space pass.  ``ray_trace``/``max_ray_samples`` are static
+    (they shape the program) and come from the MapLayerDef, not the state."""
+    if ray_trace:
         origin = (
             jnp.zeros(3, jnp.float32)
             if sensor_origin is None
@@ -131,7 +132,7 @@ def insert(m: OccupancyMap, pc: PointCloud, sensor_origin=None) -> OccupancyMap:
         )
         d = pc.xyz - origin  # (N, 3)
         rng = jnp.linalg.norm(d, axis=-1)
-        S = m.max_ray_samples
+        S = max_ray_samples
         # samples at one-voxel spacing, masked past (range - half voxel)
         ts = (jnp.arange(S, dtype=jnp.float32)[None, :] + 0.5) * m.voxel_size  # (1,S)
         inside = ts < (rng[:, None] - 0.5 * m.voxel_size)
@@ -151,15 +152,13 @@ def prune_farther_than(m: OccupancyMap, center: jax.Array, distance) -> Occupanc
     return m._replace(used=m.used & keep)
 
 
-def query_p2p(
-    m: OccupancyMap, queries: jax.Array, valid: jax.Array
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Nearest *occupied* voxel center per query (27-neighborhood)."""
+def _query_k(m: OccupancyMap, queries: jax.Array, k: int):
+    """k nearest occupied voxel centers per query (27-neighborhood)."""
     n = queries.shape[0]
     base = voxel_coords(queries, m.voxel_size)
     occ = m.occupied()
-    best_d2 = jnp.full((n,), jnp.inf, jnp.float32)
-    best_pt = jnp.zeros((n, 3), jnp.float32)
+    best_d2 = jnp.full((n, k), jnp.inf, jnp.float32)
+    best_pt = jnp.zeros((n, k, 3), jnp.float32)
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
             for dz in (-1, 0, 1):
@@ -169,8 +168,29 @@ def query_p2p(
                 live = jnp.all(m.keys[s] == c, axis=-1) & occ[s]
                 ctr = (c.astype(jnp.float32) + 0.5) * m.voxel_size
                 d2 = jnp.where(live, jnp.sum((ctr - queries) ** 2, axis=-1), jnp.inf)
-                better = d2 < best_d2
-                best_d2 = jnp.where(better, d2, best_d2)
-                best_pt = jnp.where(better[:, None], ctr, best_pt)
-    found = valid & jnp.isfinite(best_d2)
-    return best_pt, jnp.where(found, best_d2, jnp.inf), found
+                # merge candidate into the running top-k (one per voxel)
+                all_d2 = jnp.concatenate([best_d2, d2[:, None]], axis=-1)
+                all_pt = jnp.concatenate([best_pt, ctr[:, None, :]], axis=-2)
+                tk, ti = jax.lax.top_k(-all_d2, k)
+                best_d2 = -tk
+                best_pt = jnp.take_along_axis(all_pt, ti[:, :, None], axis=-2)
+    return best_pt, best_d2
+
+
+def query_p2p(
+    m: OccupancyMap, queries: jax.Array, valid: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Nearest *occupied* voxel center per query (27-neighborhood)."""
+    pt, d2 = _query_k(m, queries, 1)
+    found = valid & jnp.isfinite(d2[:, 0])
+    return pt[:, 0], jnp.where(found, d2[:, 0], jnp.inf), found
+
+
+def query_p2p2(
+    m: OccupancyMap, queries: jax.Array, valid: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Two nearest occupied voxel centers (pairingsPerPoint=2,
+    lidar2d.yaml matcher)."""
+    pt, d2 = _query_k(m, queries, 2)
+    found = valid[:, None] & jnp.isfinite(d2)
+    return pt, jnp.where(found, d2, jnp.inf), found

@@ -252,6 +252,75 @@ def query_nn2(
     return best_pt, jnp.where(found, best_d2, jnp.inf), found
 
 
+def query_p2pl(
+    m: VoxelHashMap,
+    queries: jax.Array,
+    valid: jax.Array,
+    *,
+    search_radius: float = 0.8,
+    min_plane_points: int = 6,
+    plane_eigen_threshold: float = 1e-2,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Point-to-plane query against a *point* map: fit a local plane per
+    query from the neighborhood points.
+
+    Mirrors ``Matcher_Point2Plane`` against point clouds (reference
+    pipelines/rgbd.yaml:143-151: ``searchRadius``, ``knn``,
+    ``minimumPlanePoints``, ``planeEigenThreshold``): the reference fits the
+    plane to the k nearest neighbors; here the fit uses *all* candidate
+    points of the 27-voxel neighborhood within ``search_radius`` — same
+    estimator, slightly larger support, fixed shape.
+
+    Returns ``(plane_pt, normal, dist2, found)`` with ``dist2`` the squared
+    point-plane distance.
+    """
+    from mola_lidar_odometry_tpu.ops import ndt as _ndt  # local: avoid cycle
+
+    K = m.points_per_voxel
+    n = queries.shape[0]
+    base = voxel_coords(queries, m.voxel_size)
+    r2max = jnp.float32(search_radius * search_radius)
+
+    cnt = jnp.zeros((n,), jnp.float32)
+    s = jnp.zeros((n, 3), jnp.float32)
+    ss = jnp.zeros((n, 6), jnp.float32)
+    jslots = jnp.arange(K, dtype=jnp.int32)[None, :]
+
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                off = jnp.asarray([dx, dy, dz], jnp.int32)
+                c = base + off
+                sl = voxel_hash(c, m.num_slots)
+                key_ok = jnp.all(m.keys[sl] == c, axis=-1) & (m.count[sl] > 0)
+                cand = m.pts[sl]  # (N, K, 3)
+                cmask = key_ok[:, None] & (jslots < m.count[sl][:, None])
+                d2 = jnp.sum((cand - queries[:, None, :]) ** 2, axis=-1)
+                w = (cmask & (d2 <= r2max)).astype(jnp.float32)  # (N, K)
+                cnt = cnt + jnp.sum(w, axis=-1)
+                s = s + jnp.einsum("nk,nkc->nc", w, cand)
+                x, y, z = cand[..., 0], cand[..., 1], cand[..., 2]
+                mom = jnp.stack([x * x, y * y, z * z, x * y, x * z, y * z], -1)
+                ss = ss + jnp.einsum("nk,nkc->nc", w, mom)
+
+    nf = jnp.maximum(cnt, 1.0)[:, None]
+    mean = s / nf
+    mx, my, mz = mean[:, 0], mean[:, 1], mean[:, 2]
+    cov6 = ss / nf - jnp.stack(
+        [mx * mx, my * my, mz * mz, mx * my, mx * mz, my * mz], -1
+    )
+    nrm, e_min, e_mid = _ndt._sym_eigen_smallest(cov6)
+    plane_ok = (
+        (cnt >= min_plane_points)
+        & (e_min <= plane_eigen_threshold * jnp.maximum(e_mid, 1e-12))
+    )
+    found = valid & plane_ok
+    dpl = jnp.sum(nrm * (queries - mean), axis=-1)
+    plane_pt = queries - dpl[:, None] * nrm
+    d2 = jnp.where(found, dpl * dpl, jnp.inf)
+    return plane_pt, nrm, d2, found
+
+
 def as_pointcloud(m: VoxelHashMap, capacity: int) -> PointCloud:
     """Flatten live voxel contents into a PointCloud (for viz / serialization)."""
     V, K = m.num_slots, m.points_per_voxel

@@ -50,6 +50,11 @@ class Profiler:
     def count(self, name: str) -> int:
         return len(self._times.get(name) or self._counters.get(name) or [])
 
+    def mean_hz(self, name: str) -> float:
+        """Mean rate of a span (the GUI Hz display, reference :1848-1853)."""
+        m = self.mean(name)
+        return 1.0 / m if m > 0 else 0.0
+
     def report(self) -> str:
         lines = ["-- profiler report --"]
         for k in sorted(self._times):

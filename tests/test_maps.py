@@ -124,12 +124,12 @@ class TestNdtMap:
 
 class TestOccupancyMap:
     def test_hits_and_free_space(self):
-        m = OccupancyMap.create(1 << 14, 0.25, max_ray_samples=128)
+        m = OccupancyMap.create(1 << 14, 0.25)
         # wall of points at x=5, sensor at origin
         ys = np.linspace(-2, 2, 100).astype(np.float32)
         pts = np.stack([np.full(100, 5.0), ys, np.zeros(100)], 1)
         pc = PointCloud.from_xyz(jnp.asarray(pts))
-        m = occupancy.insert(m, pc, sensor_origin=jnp.zeros(3))
+        m = occupancy.insert(m, pc, sensor_origin=jnp.zeros(3), max_ray_samples=128)
         assert int(m.num_voxels()) > 10  # occupied wall voxels
 
         # endpoint voxel occupied, mid-ray voxel free
@@ -140,11 +140,11 @@ class TestOccupancyMap:
         assert not bool(found[1])  # free space: no occupied voxel nearby
 
     def test_repeated_miss_does_not_occupy(self):
-        m = OccupancyMap.create(1 << 12, 0.25, max_ray_samples=64)
+        m = OccupancyMap.create(1 << 12, 0.25)
         pts = np.asarray([[4.0, 0.0, 0.0]], np.float32)
         pc = PointCloud.from_xyz(jnp.asarray(pts))
         for _ in range(5):
-            m = occupancy.insert(m, pc, sensor_origin=jnp.zeros(3))
+            m = occupancy.insert(m, pc, sensor_origin=jnp.zeros(3), max_ray_samples=128)
         occ = np.asarray(m.occupied())
         keys = np.asarray(m.keys)[occ]
         # only the endpoint voxel (x ~ 4.0 -> coord 16) is occupied
@@ -152,9 +152,9 @@ class TestOccupancyMap:
         assert np.all(keys[:, 0] >= 15)
 
     def test_prune(self):
-        m = OccupancyMap.create(1 << 12, 0.5, ray_trace_free_space=False)
+        m = OccupancyMap.create(1 << 12, 0.5)
         pts = np.stack([np.linspace(0, 30, 60)] * 3, 1).astype(np.float32)
-        m = occupancy.insert(m, PointCloud.from_xyz(jnp.asarray(pts)))
+        m = occupancy.insert(m, PointCloud.from_xyz(jnp.asarray(pts)), ray_trace=False)
         n0 = int(m.num_voxels())
         m = occupancy.prune_farther_than(m, jnp.zeros(3), 10.0)
         assert int(m.num_voxels()) < n0

@@ -1,0 +1,175 @@
+"""Tests for the module runtime (worker pool, dispatch, backpressure) and
+the auxiliary observation handlers (GNSS/IMU/wheel odometry, relocalize)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from mola_lidar_odometry_tpu.utils.runtime import (
+    AsyncLidarOdometry,
+    Observation,
+    WorkerThreadsPool,
+)
+
+
+class FakeSpec:
+    lidar_sensor_labels = ("lidar", "/ouster/points")
+    imu_sensor_label = "imu"
+    gnss_sensor_label = "gps"
+    wheel_odometry_sensor_label = "odometry"
+    multiple_lidar_count = 1
+    multiple_lidar_max_time_offset = 0.1
+
+
+class FakeLO:
+    def __init__(self):
+        self.spec = FakeSpec()
+        self.active = True
+        self.calls = []
+
+    def on_lidar_scan(self, xyz, stamp, times=None, intensity=None, ring=None):
+        self.calls.append(("lidar", stamp, len(xyz)))
+
+    def on_gnss(self, stamp, data):
+        self.calls.append(("gnss", stamp))
+
+    def on_imu(self, stamp, data):
+        self.calls.append(("imu", stamp))
+
+    def on_wheel_odometry(self, stamp, pose):
+        self.calls.append(("odom", stamp))
+
+
+class TestWorkerPool:
+    def test_fifo_ordering(self):
+        pool = WorkerThreadsPool(1)
+        out = []
+        for i in range(20):
+            pool.enqueue(lambda i=i: out.append(i))
+        pool.wait_all()
+        assert out == list(range(20))
+        pool.shutdown()
+
+    def test_is_busy(self):
+        pool = WorkerThreadsPool(1)
+        pool.enqueue(lambda: time.sleep(0.15))
+        time.sleep(0.03)
+        assert pool.is_busy()
+        pool.wait_all()
+        assert not pool.is_busy()
+        pool.shutdown()
+
+
+class TestDispatch:
+    def test_label_routing(self):
+        lo = FakeLO()
+        rt = AsyncLidarOdometry(lo)
+        xyz = np.zeros((10, 3), np.float32)
+        rt.on_new_observation(Observation("lidar", "lidar", 0.0, {"xyz": xyz}))
+        rt.on_new_observation(Observation("lidar", "/ouster/points", 0.1, {"xyz": xyz}))
+        rt.on_new_observation(Observation("gnss", "gps", 0.2, {}))
+        rt.on_new_observation(Observation("imu", "imu", 0.3, {}))
+        rt.on_new_observation(Observation("odometry", "odometry", 0.4, {"pose": None}))
+        rt.on_new_observation(Observation("lidar", "unknown_sensor", 0.5, {"xyz": xyz}))
+        rt.worker.wait_all()
+        kinds = [c[0] for c in lo.calls]
+        assert kinds == ["lidar", "lidar", "gnss", "imu", "odom"]
+        rt.shutdown()
+
+    def test_fatal_error_latch(self):
+        lo = FakeLO()
+
+        def boom(*a, **kw):
+            raise RuntimeError("sensor exploded")
+
+        lo.on_gnss = boom
+        rt = AsyncLidarOdometry(lo)
+        rt.on_new_observation(Observation("gnss", "gps", 0.0, {}))
+        time.sleep(0.2)
+        assert rt.fatal_error
+        # further observations are discarded silently
+        rt.on_new_observation(
+            Observation("lidar", "lidar", 1.0, {"xyz": np.zeros((5, 3))})
+        )
+        time.sleep(0.1)
+        assert lo.calls == []
+
+    def test_enqueue_request_runs_before_next_scan(self):
+        lo = FakeLO()
+        rt = AsyncLidarOdometry(lo)
+        hits = []
+        rt.enqueue_request(lambda: hits.append("req"))
+        rt.on_new_observation(
+            Observation("lidar", "lidar", 0.0, {"xyz": np.zeros((5, 3))})
+        )
+        rt.worker.wait_all()
+        assert hits == ["req"] and lo.calls
+        rt.shutdown()
+
+    def test_multi_lidar_grouping(self):
+        lo = FakeLO()
+        lo.spec.multiple_lidar_count = 2
+        rt = AsyncLidarOdometry(lo)
+        xyz = np.zeros((10, 3), np.float32)
+        rt.on_new_observation(Observation("lidar", "lidar", 0.00, {"xyz": xyz}))
+        rt.worker.wait_all()
+        assert lo.calls == []  # waiting for the second sensor
+        rt.on_new_observation(Observation("lidar", "/ouster/points", 0.02, {"xyz": xyz}))
+        rt.worker.wait_all()
+        assert len(lo.calls) == 1
+        assert lo.calls[0][2] == 20  # merged point count
+        rt.shutdown()
+
+
+@pytest.fixture(scope="module")
+def tiny_lo():
+    import os
+
+    from mola_lidar_odometry_tpu.models.odometry import LidarOdometry
+
+    path = os.path.join(os.path.dirname(__file__), "..", "pipelines", "lidar3d-default.yaml")
+    return LidarOdometry.from_yaml_file(
+        path,
+        raw_capacity=1 << 10,
+        map_slots=1 << 12,
+        layer_capacities={"raw": 1 << 10, "decimated_for_map_raw": 512,
+                          "decimated_for_icp_skewed": 512, "decimated_for_icp": 512,
+                          "decimated_for_map": 512},
+    )
+
+
+class TestAuxHandlers:
+    def test_wheel_odometry_feeds_navstate(self, tiny_lo):
+        lo = tiny_lo
+        lo.reset()
+        T0 = np.eye(4)
+        lo.on_wheel_odometry(0.0, T0)
+        T1 = np.eye(4)
+        T1[:3, 3] = [0.5, 0.0, 0.0]
+        lo.on_wheel_odometry(0.1, T1)
+        # second reading advanced the pose by the odometric increment
+        assert abs(float(lo.carry.pose_t[0]) - 0.5) < 1e-5
+        assert int(lo.carry.nav.head) >= 1
+
+    def test_relocalize_near_pose(self, tiny_lo):
+        lo = tiny_lo
+        lo.reset()
+        R = np.eye(3)
+        t = np.asarray([10.0, -3.0, 1.0])
+        lo.relocalize_near_pose_pdf(R, t)
+        np.testing.assert_allclose(np.asarray(lo.carry.pose_t), t, atol=1e-6)
+
+    def test_relocalize_from_gnss(self, tiny_lo):
+        lo = tiny_lo
+        lo.reset()
+        assert not lo.relocalize_from_gnss()  # nothing buffered
+        lo.on_gnss(1.0, {"enu": [5.0, 6.0, 0.0]})
+        assert lo.relocalize_from_gnss()
+        np.testing.assert_allclose(np.asarray(lo.carry.pose_t), [5.0, 6.0, 0.0])
+
+    def test_imu_buffered(self, tiny_lo):
+        lo = tiny_lo
+        lo.reset()
+        lo.on_imu(0.0, {"wx": 0.1})
+        assert len(lo._imu_buffer) == 1
