@@ -147,6 +147,19 @@ class KittiOdometryDataset(OfflineDataset):
         return len(self.bins)
 
     def get(self, i: int) -> LidarFrame:
+        from mola_lidar_odometry_tpu.utils import native
+
+        if native.available():
+            # native decode+correction+timestamps (overlappable via the
+            # Prefetcher in high-throughput loops)
+            cap = (self.bins[i].stat().st_size // 16) or 1
+            xyz, inten, times, n = native.decode_bin(
+                self.bins[i], cap, self.corr, 0.1
+            )
+            return LidarFrame(
+                stamp=float(self.stamps[i]),
+                xyz=xyz[:n], times=times[:n], intensity=inten[:n],
+            )
         raw = np.fromfile(self.bins[i], np.float32).reshape(-1, 4)
         xyz, inten = raw[:, :3], raw[:, 3]
         if self.corr:
