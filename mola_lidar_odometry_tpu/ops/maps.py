@@ -153,23 +153,25 @@ def set_voxel_size(state, voxel_size):
     return state._replace(voxel_size=jnp.asarray(voxel_size, jnp.float32))
 
 
-def query_p2p(state, queries, valid) -> Tuple[jax.Array, jax.Array, jax.Array]:
+def query_p2p(
+    state, queries, valid, *, neighbors: int = 27
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Nearest-target query: returns (target_xyz, dist2, found)."""
     if isinstance(state, voxel_hash.VoxelHashMap):
-        return voxel_hash.query_nn(state, queries, valid)
+        return voxel_hash.query_nn(state, queries, valid, neighbors=neighbors)
     if isinstance(state, ndt.NdtMap):
-        return ndt.query_p2p(state, queries, valid)
+        return ndt.query_p2p(state, queries, valid, neighbors=neighbors)
     if isinstance(state, occupancy.OccupancyMap):
-        return occupancy.query_p2p(state, queries, valid)
+        return occupancy.query_p2p(state, queries, valid, neighbors=neighbors)
     raise TypeError(type(state))
 
 
-def query_p2p2(state, queries, valid):
+def query_p2p2(state, queries, valid, *, neighbors: int = 27):
     """Two-nearest query (pairingsPerPoint=2)."""
     if isinstance(state, voxel_hash.VoxelHashMap):
-        return voxel_hash.query_nn2(state, queries, valid)
+        return voxel_hash.query_nn2(state, queries, valid, neighbors=neighbors)
     if isinstance(state, occupancy.OccupancyMap):
-        return occupancy.query_p2p2(state, queries, valid)
+        return occupancy.query_p2p2(state, queries, valid, neighbors=neighbors)
     raise TypeError(f"pairingsPerPoint=2 unsupported for {type(state)}")
 
 
@@ -181,6 +183,7 @@ def query_p2pl(
     search_radius: float = 0.8,
     min_plane_points: int = 6,
     plane_eigen_threshold: float = 1e-2,
+    neighbors: int = 27,
 ):
     """Point-to-plane query: returns (plane_pt, normal, dist2, found).
 
@@ -188,7 +191,7 @@ def query_p2pl(
     local plane per query (Matcher_Point2Plane vs point maps, rgbd.yaml:143).
     """
     if isinstance(state, ndt.NdtMap):
-        return ndt.query_p2pl(state, queries, valid)
+        return ndt.query_p2pl(state, queries, valid, neighbors=neighbors)
     if isinstance(state, voxel_hash.VoxelHashMap):
         return voxel_hash.query_p2pl(
             state,
@@ -197,6 +200,7 @@ def query_p2pl(
             search_radius=search_radius,
             min_plane_points=min_plane_points,
             plane_eigen_threshold=plane_eigen_threshold,
+            neighbors=neighbors,
         )
     raise TypeError(f"point-to-plane matching unsupported for {type(state)}")
 

@@ -6,28 +6,20 @@ points``, ``remove_voxels_farther_than`` L1 pruning, ``max_eigen_ratio_for_
 planes``) and the plane side of ``mp2p_icp::Matcher_Point2Plane``
 (pipelines/lidar3d-ndt.yaml:195-200).
 
-Design: the same direct-mapped spatial-hash layout as ops/voxel_hash, but
-slots store *running Gaussian moments* instead of raw points:
+Design: the same direct-mapped spatial-hash layout as ops/voxel_hash, with
+two stores per slot:
 
-  * ``keys (V, 3) i32``  — voxel integer coords of the slot's occupant
-  * ``n    (V,)   i32``  — points accumulated (0 = empty slot)
-  * ``s    (V, 3) f32``  — sum of points
-  * ``ss   (V, 6) f32``  — sum of outer products, symmetric-packed
-                           [xx, yy, zz, xy, xz, yz]
-  * ``normal (V, 3) f32`` / ``plane_ok (V,) bool`` — derived plane fit,
-    refreshed after every insert (closed-form 3x3 symmetric eigen solve on
-    the VPU; no iterative eigh)
+  * raw Gaussian **moments** for accumulation (scatter-add on insert):
+    ``s (V, 3)`` point sums and ``ss (V, 6)`` symmetric-packed second moments
+  * a packed **query row** ``qdata (V, 12)`` refreshed after every insert:
+    ``[key3 | n | mean3 | normal3 | plane_ok | pad]`` — so a neighborhood
+    probe is ONE fused gather (per-gather fixed cost dominates on TPU; see
+    ops/voxel_hash docstring)
 
-Moment accumulation is a plain scatter-add (order-independent), so inserts
-need no per-slot ranking sort — cheaper than the point-storing map.  The
-reference's ``min_distance_between_points`` dedup is approximated by
-pre-decimating the insert batch at that resolution (host pipeline config
-does this); moments are otherwise exact.
-
-Queries gather the 27-voxel neighborhood Gaussians of each point; the
-nearest-mean voxel with a valid plane yields a point-to-plane pairing
-(projection point + unit normal), with a point-to-point (nearest mean)
-fallback used by the second matcher of the NDT pipeline.
+Plane normals come from a closed-form 3x3 symmetric eigen solve on the VPU
+(no iterative eigh).  The reference's ``min_distance_between_points`` dedup
+is approximated by pre-decimating the insert batch at that resolution (host
+pipeline config does this); moments are otherwise exact.
 """
 
 from __future__ import annotations
@@ -39,7 +31,7 @@ import jax.numpy as jnp
 
 from mola_lidar_odometry_tpu.ops.filters import voxel_coords, voxel_hash
 from mola_lidar_odometry_tpu.ops.pointcloud import PointCloud
-from mola_lidar_odometry_tpu.ops.voxel_hash import claim_slots
+from mola_lidar_odometry_tpu.ops.voxel_hash import claim_slots, neighbor_coords
 
 
 class NdtMap(NamedTuple):
@@ -47,27 +39,40 @@ class NdtMap(NamedTuple):
 
     voxel_size: jax.Array  # () f32
     max_eigen_ratio: jax.Array  # () f32 — lambda_min/lambda_mid plane gate
-    keys: jax.Array  # (V, 3) i32
-    n: jax.Array  # (V,) i32
-    s: jax.Array  # (V, 3) f32
+    qdata: jax.Array  # (V, 12) f32 packed query rows [key3|n|mean3|nrm3|ok|pad]
+    s: jax.Array  # (V, 3) f32 moment sums
     ss: jax.Array  # (V, 6) f32 sym-packed second moments
-    normal: jax.Array  # (V, 3) f32 unit plane normal (derived)
-    plane_ok: jax.Array  # (V,) bool (derived)
 
     MIN_POINTS_FOR_PLANE = 5
 
     @property
     def num_slots(self) -> int:
-        return self.keys.shape[0]
+        return self.qdata.shape[0]
+
+    @property
+    def keys(self) -> jax.Array:
+        return self.qdata[:, :3].astype(jnp.int32)
+
+    @property
+    def n(self) -> jax.Array:
+        return self.qdata[:, 3].astype(jnp.int32)
+
+    @property
+    def normal(self) -> jax.Array:
+        return self.qdata[:, 7:10]
+
+    @property
+    def plane_ok(self) -> jax.Array:
+        return self.qdata[:, 10] > 0
 
     def num_voxels(self) -> jax.Array:
-        return jnp.sum(self.n > 0)
+        return jnp.sum(self.qdata[:, 3] > 0)
 
     def is_empty(self) -> jax.Array:
-        return jnp.all(self.n == 0)
+        return jnp.all(self.qdata[:, 3] == 0)
 
     def means(self) -> jax.Array:
-        return self.s / jnp.maximum(self.n[:, None].astype(jnp.float32), 1.0)
+        return self.qdata[:, 4:7]
 
     @staticmethod
     def create(num_slots: int, voxel_size, max_eigen_ratio=0.05) -> "NdtMap":
@@ -76,20 +81,16 @@ class NdtMap(NamedTuple):
         return NdtMap(
             voxel_size=jnp.asarray(voxel_size, jnp.float32),
             max_eigen_ratio=jnp.asarray(max_eigen_ratio, jnp.float32),
-            keys=jnp.zeros((num_slots, 3), jnp.int32),
-            n=jnp.zeros((num_slots,), jnp.int32),
+            qdata=jnp.zeros((num_slots, 12), jnp.float32),
             s=jnp.zeros((num_slots, 3), jnp.float32),
             ss=jnp.zeros((num_slots, 6), jnp.float32),
-            normal=jnp.zeros((num_slots, 3), jnp.float32),
-            plane_ok=jnp.zeros((num_slots,), bool),
         )
 
     def clear(self) -> "NdtMap":
         return self._replace(
-            n=jnp.zeros_like(self.n),
+            qdata=self.qdata.at[:, 3:].set(0.0),
             s=jnp.zeros_like(self.s),
             ss=jnp.zeros_like(self.ss),
-            plane_ok=jnp.zeros_like(self.plane_ok),
         )
 
 
@@ -146,8 +147,9 @@ def _sym_eigen_smallest(cov6: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Arra
 
 
 def _refresh_planes(m: NdtMap) -> NdtMap:
-    """Recompute per-voxel normals + plane validity from the moments."""
-    nf = jnp.maximum(m.n.astype(jnp.float32), 1.0)[:, None]
+    """Recompute per-voxel mean/normal/plane validity into the query rows."""
+    nf32 = m.qdata[:, 3]
+    nf = jnp.maximum(nf32, 1.0)[:, None]
     mean = m.s / nf
     mx, my, mz = mean[:, 0], mean[:, 1], mean[:, 2]
     cov6 = m.ss / nf - jnp.stack(
@@ -155,11 +157,14 @@ def _refresh_planes(m: NdtMap) -> NdtMap:
     )
     v, e_min, e_mid = _sym_eigen_smallest(cov6)
     ok = (
-        (m.n >= NdtMap.MIN_POINTS_FOR_PLANE)
+        (nf32 >= NdtMap.MIN_POINTS_FOR_PLANE)
         & (e_min >= -1e-6)
         & (e_min <= m.max_eigen_ratio * jnp.maximum(e_mid, 1e-12))
     )
-    return m._replace(normal=v, plane_ok=ok)
+    qdata = m.qdata.at[:, 4:7].set(mean)
+    qdata = qdata.at[:, 7:10].set(v)
+    qdata = qdata.at[:, 10].set(ok.astype(jnp.float32))
+    return m._replace(qdata=qdata)
 
 
 def insert(m: NdtMap, pc: PointCloud) -> NdtMap:
@@ -173,83 +178,73 @@ def insert(m: NdtMap, pc: PointCloud) -> NdtMap:
     x, y, z = pc.xyz[:, 0], pc.xyz[:, 1], pc.xyz[:, 2]
     mom = jnp.stack([x * x, y * y, z * z, x * y, x * z, y * z], axis=-1)
 
-    new_n = m.n.at[slot].add(accept.astype(jnp.int32), mode="drop")
+    qdata = m.qdata.at[slot, 3].add(w, mode="drop")
+    qdata = qdata.at[jnp.where(claim_ok, slot, V), :3].set(
+        coords.astype(jnp.float32), mode="drop"
+    )
     new_s = m.s.at[slot].add(pc.xyz * w[:, None], mode="drop")
     new_ss = m.ss.at[slot].add(mom * w[:, None], mode="drop")
-    new_keys = m.keys.at[jnp.where(claim_ok, slot, V)].set(coords, mode="drop")
-    return _refresh_planes(m._replace(keys=new_keys, n=new_n, s=new_s, ss=new_ss))
+    return _refresh_planes(m._replace(qdata=qdata, s=new_s, ss=new_ss))
 
 
 def prune_farther_than(m: NdtMap, center: jax.Array, distance) -> NdtMap:
     """Drop voxels with L1 distance beyond ``distance`` (<=0 disables)."""
-    centers = (m.keys.astype(jnp.float32) + 0.5) * m.voxel_size
+    centers = (m.qdata[:, :3] + 0.5) * m.voxel_size
     l1 = jnp.max(jnp.abs(centers - center), axis=-1)
-    keep = (l1 <= distance) | (distance <= 0)
-    return m._replace(
-        n=jnp.where(keep, m.n, 0),
-        plane_ok=m.plane_ok & keep,
-    )
+    keep = ((l1 <= distance) | (distance <= 0)).astype(jnp.float32)
+    qdata = m.qdata.at[:, 3].mul(keep)
+    qdata = qdata.at[:, 10].mul(keep)
+    return m._replace(qdata=qdata)
 
 
-def _gather_neighborhood(m: NdtMap, queries: jax.Array):
-    """Yield (slot, slot_live) for the 27 neighbor voxels of each query."""
+def _gather_rows(m: NdtMap, queries: jax.Array, neighbors: int):
     base = voxel_coords(queries, m.voxel_size)
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dz in (-1, 0, 1):
-                off = jnp.asarray([dx, dy, dz], jnp.int32)
-                c = base + off
-                s = voxel_hash(c, m.num_slots)
-                live = jnp.all(m.keys[s] == c, axis=-1) & (m.n[s] > 0)
-                yield s, live
+    cand = neighbor_coords(queries, base, m.voxel_size, neighbors)  # (N,P,3)
+    slots = voxel_hash(cand, m.num_slots)
+    g = m.qdata[slots.reshape(-1)].reshape(cand.shape[0], cand.shape[1], 12)
+    key_ok = jnp.all(g[..., :3] == cand.astype(jnp.float32), axis=-1)
+    live = key_ok & (g[..., 3] > 0)
+    return g, live
 
 
 def query_p2p(
-    m: NdtMap, queries: jax.Array, valid: jax.Array
+    m: NdtMap, queries: jax.Array, valid: jax.Array, *, neighbors: int = 27
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Nearest voxel *mean* per query (the NDT pipeline's point-to-point
     fallback matcher).  Returns ``(mean_xyz, dist2, found)``."""
     n = queries.shape[0]
-    means = m.means()
-    best_d2 = jnp.full((n,), jnp.inf, jnp.float32)
-    best_pt = jnp.zeros((n, 3), jnp.float32)
-    for s, live in _gather_neighborhood(m, queries):
-        mu = means[s]
-        d2 = jnp.where(live, jnp.sum((mu - queries) ** 2, axis=-1), jnp.inf)
-        better = d2 < best_d2
-        best_d2 = jnp.where(better, d2, best_d2)
-        best_pt = jnp.where(better[:, None], mu, best_pt)
-    found = valid & jnp.isfinite(best_d2)
-    return best_pt, jnp.where(found, best_d2, jnp.inf), found
+    g, live = _gather_rows(m, queries, neighbors)
+    mu = g[..., 4:7]  # (N, P, 3)
+    d2 = jnp.where(live, jnp.sum((mu - queries[:, None, :]) ** 2, axis=-1), jnp.inf)
+    j = jnp.argmin(d2, axis=-1)
+    dmin = jnp.take_along_axis(d2, j[:, None], axis=-1)[:, 0]
+    pmin = jnp.take_along_axis(mu, j[:, None, None], axis=-2)[:, 0]
+    found = valid & jnp.isfinite(dmin)
+    return pmin, jnp.where(found, dmin, jnp.inf), found
 
 
 def query_p2pl(
-    m: NdtMap, queries: jax.Array, valid: jax.Array
+    m: NdtMap, queries: jax.Array, valid: jax.Array, *, neighbors: int = 27
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Nearest plane per query (Matcher_Point2Plane against mola::NDT).
 
-    Selects the nearest-mean voxel with a valid plane fit in the 27-voxel
+    Selects the nearest-mean voxel with a valid plane fit in the probed
     neighborhood.  Returns ``(plane_pt, normal, dist2, found)`` where
     ``plane_pt`` is the query's orthogonal projection onto the plane and
     ``dist2`` the squared point-plane distance (what ``distanceThreshold``
     gates on).
     """
-    n = queries.shape[0]
-    means = m.means()
-    best_d2mean = jnp.full((n,), jnp.inf, jnp.float32)
-    best_mu = jnp.zeros((n, 3), jnp.float32)
-    best_nrm = jnp.zeros((n, 3), jnp.float32)
-    for s, live in _gather_neighborhood(m, queries):
-        ok = live & m.plane_ok[s]
-        mu = means[s]
-        d2 = jnp.where(ok, jnp.sum((mu - queries) ** 2, axis=-1), jnp.inf)
-        better = d2 < best_d2mean
-        best_d2mean = jnp.where(better, d2, best_d2mean)
-        best_mu = jnp.where(better[:, None], mu, best_mu)
-        best_nrm = jnp.where(better[:, None], m.normal[s], best_nrm)
+    g, live = _gather_rows(m, queries, neighbors)
+    ok = live & (g[..., 10] > 0)
+    mu = g[..., 4:7]
+    d2 = jnp.where(ok, jnp.sum((mu - queries[:, None, :]) ** 2, axis=-1), jnp.inf)
+    j = jnp.argmin(d2, axis=-1)
+    dmin = jnp.take_along_axis(d2, j[:, None], axis=-1)[:, 0]
+    best_mu = jnp.take_along_axis(mu, j[:, None, None], axis=-2)[:, 0]
+    best_nrm = jnp.take_along_axis(g[..., 7:10], j[:, None, None], axis=-2)[:, 0]
 
-    found = valid & jnp.isfinite(best_d2mean)
+    found = valid & jnp.isfinite(dmin)
     dpl = jnp.sum(best_nrm * (queries - best_mu), axis=-1)  # signed plane dist
     plane_pt = queries - dpl[:, None] * best_nrm
-    d2 = jnp.where(found, dpl * dpl, jnp.inf)
-    return plane_pt, best_nrm, d2, found
+    d2q = jnp.where(found, dpl * dpl, jnp.inf)
+    return plane_pt, best_nrm, d2q, found

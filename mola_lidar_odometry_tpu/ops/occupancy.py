@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from mola_lidar_odometry_tpu.ops.filters import voxel_coords, voxel_hash
 from mola_lidar_odometry_tpu.ops.pointcloud import PointCloud
-from mola_lidar_odometry_tpu.ops.voxel_hash import claim_slots
+from mola_lidar_odometry_tpu.ops.voxel_hash import claim_slots, neighbor_coords
 
 
 def _logit(p: float) -> float:
@@ -152,45 +152,40 @@ def prune_farther_than(m: OccupancyMap, center: jax.Array, distance) -> Occupanc
     return m._replace(used=m.used & keep)
 
 
-def _query_k(m: OccupancyMap, queries: jax.Array, k: int):
-    """k nearest occupied voxel centers per query (27-neighborhood)."""
+def _query_k(m: OccupancyMap, queries: jax.Array, k: int, neighbors: int = 27):
+    """k nearest occupied voxel centers per query (ONE fused gather of the
+    packed key rows; candidate positions are the probed voxel centers, so
+    only keys + occupancy flags are gathered)."""
     n = queries.shape[0]
     base = voxel_coords(queries, m.voxel_size)
-    occ = m.occupied()
-    best_d2 = jnp.full((n, k), jnp.inf, jnp.float32)
-    best_pt = jnp.zeros((n, k, 3), jnp.float32)
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dz in (-1, 0, 1):
-                off = jnp.asarray([dx, dy, dz], jnp.int32)
-                c = base + off
-                s = voxel_hash(c, m.num_slots)
-                live = jnp.all(m.keys[s] == c, axis=-1) & occ[s]
-                ctr = (c.astype(jnp.float32) + 0.5) * m.voxel_size
-                d2 = jnp.where(live, jnp.sum((ctr - queries) ** 2, axis=-1), jnp.inf)
-                # merge candidate into the running top-k (one per voxel)
-                all_d2 = jnp.concatenate([best_d2, d2[:, None]], axis=-1)
-                all_pt = jnp.concatenate([best_pt, ctr[:, None, :]], axis=-2)
-                tk, ti = jax.lax.top_k(-all_d2, k)
-                best_d2 = -tk
-                best_pt = jnp.take_along_axis(all_pt, ti[:, :, None], axis=-2)
-    return best_pt, best_d2
+    cand = neighbor_coords(queries, base, m.voxel_size, neighbors)  # (N,P,3)
+    slots = voxel_hash(cand, m.num_slots)  # (N, P)
+    occ = m.occupied().astype(jnp.float32)
+    # pack [key3 | occupied] so the probe is one gather
+    rows = jnp.concatenate([m.keys.astype(jnp.float32), occ[:, None]], axis=-1)
+    g = rows[slots.reshape(-1)].reshape(n, cand.shape[1], 4)
+    live = jnp.all(g[..., :3] == cand.astype(jnp.float32), axis=-1) & (g[..., 3] > 0)
+    ctr = (cand.astype(jnp.float32) + 0.5) * m.voxel_size  # (N, P, 3)
+    d2 = jnp.where(live, jnp.sum((ctr - queries[:, None, :]) ** 2, axis=-1), jnp.inf)
+    tk, ti = jax.lax.top_k(-d2, k)
+    best_pt = jnp.take_along_axis(ctr, ti[:, :, None], axis=-2)
+    return best_pt, -tk
 
 
 def query_p2p(
-    m: OccupancyMap, queries: jax.Array, valid: jax.Array
+    m: OccupancyMap, queries: jax.Array, valid: jax.Array, *, neighbors: int = 27
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Nearest *occupied* voxel center per query (27-neighborhood)."""
-    pt, d2 = _query_k(m, queries, 1)
+    """Nearest *occupied* voxel center per query."""
+    pt, d2 = _query_k(m, queries, 1, neighbors)
     found = valid & jnp.isfinite(d2[:, 0])
     return pt[:, 0], jnp.where(found, d2[:, 0], jnp.inf), found
 
 
 def query_p2p2(
-    m: OccupancyMap, queries: jax.Array, valid: jax.Array
+    m: OccupancyMap, queries: jax.Array, valid: jax.Array, *, neighbors: int = 27
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Two nearest occupied voxel centers (pairingsPerPoint=2,
     lidar2d.yaml matcher)."""
-    pt, d2 = _query_k(m, queries, 2)
+    pt, d2 = _query_k(m, queries, 2, neighbors)
     found = valid[:, None] & jnp.isfinite(d2)
     return pt, jnp.where(found, d2, jnp.inf), found

@@ -7,25 +7,30 @@ the KD-tree NN search inside ``mp2p_icp::Matcher_Points_DistanceThreshold``
 (pipelines/lidar3d-default.yaml:196-204).
 
 Design (SURVEY.md §7): a direct-mapped spatial-hash table in HBM with a
-static slot count ``V`` and per-voxel point capacity ``K``:
+static slot count ``V`` and per-voxel point capacity ``K``.  The entire slot
+record is **packed into one f32 row** so a neighborhood probe is a single
+fused gather — on TPU each gather instruction carries a large fixed cost, so
+one (N*P)-row gather of packed rows beats separate key/count/point gathers
+by an order of magnitude (measured on v5e):
 
-  * ``keys  (V, 3) i32`` — voxel integer coords of the slot's occupant
-  * ``count (V,)   i32`` — live points in the slot (0 = empty)
-  * ``pts   (V, K, 3) f32`` — point storage
+  ``data (V, 4 + 3K) f32``:
+    * ``[0:3]``  — voxel integer coords of the slot's occupant (exact f32)
+    * ``[3]``    — live point count (0 = empty)
+    * ``[4:]``   — point storage, xyz-interleaved
 
 Insertion is fully parallel and atomics-free:
   1. empty slots are *claimed* by scatter-min over point index (deterministic
      first-point-wins, mirroring the C++ map's insertion order semantics);
   2. per-slot arrival ranks come from one sort over the insert batch;
-  3. points scatter into ``pts[slot, count+rank]`` bounded by ``K``.
+  3. points scatter into ``data[slot, 4 + 3*(count+rank)]`` bounded by ``K``.
 Hash collisions (two voxels, one slot) drop the newcomer's points for that
 frame — with V >= 4x the live voxel count this is rare, and distance-based
 eviction recycles slots continuously.
 
-Queries probe the static 3x3x3 voxel neighborhood of each query point and
-reduce over the <=27*K candidates — the dense, fixed-shape analogue of the
-reference's KD-tree radius search, sized so the whole thing stays in
-registers/VMEM under XLA fusion.
+Queries probe either the full 3x3x3 neighborhood (27 voxels, exact within
+one voxel radius — the reference-parity default) or the 2x2x2 corner block
+nearest the query (8 voxels — exact for matches within voxel_size/2, the
+fast mode for converged tracking), reducing over the <=P*K candidates.
 """
 
 from __future__ import annotations
@@ -38,22 +43,55 @@ import jax.numpy as jnp
 from mola_lidar_odometry_tpu.ops.filters import voxel_coords, voxel_hash
 from mola_lidar_odometry_tpu.ops.pointcloud import PointCloud
 
+_OFFS27 = [
+    (dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
+]
+_CORNERS8 = [(i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)]
+
+
+def neighbor_coords(queries: jax.Array, base: jax.Array, voxel_size, neighbors: int) -> jax.Array:
+    """Voxel coords of the probe set per query: (N, P, 3) i32."""
+    if neighbors == 27:
+        offs = jnp.asarray(_OFFS27, jnp.int32)  # (27, 3)
+        return base[:, None, :] + offs[None]
+    if neighbors == 8:
+        # pick the 2x2x2 block on the side of the voxel center the query
+        # falls — covers every point within voxel_size/2 of the query
+        frac = queries / voxel_size - (base.astype(jnp.float32) + 0.5)
+        step = jnp.where(frac >= 0, 1, -1).astype(jnp.int32)  # (N, 3)
+        corners = jnp.asarray(_CORNERS8, jnp.int32)  # (8, 3)
+        return base[:, None, :] + corners[None] * step[:, None, :]
+    if neighbors == 1:
+        return base[:, None, :]
+    raise ValueError(f"neighbors must be 1, 8 or 27, got {neighbors}")
+
 
 class VoxelHashMap(NamedTuple):
-    """Fixed-capacity voxel point map (all arrays device-resident)."""
+    """Fixed-capacity voxel point map (packed slot rows, device-resident)."""
 
     voxel_size: jax.Array  # () f32 — set when the map is created (dynamic var expr)
-    keys: jax.Array  # (V, 3) i32
-    count: jax.Array  # (V,) i32
-    pts: jax.Array  # (V, K, 3) f32
+    data: jax.Array  # (V, 4 + 3K) f32 — [key3 | count | xyz * K]
 
     @property
     def num_slots(self) -> int:
-        return self.keys.shape[0]
+        return self.data.shape[0]
 
     @property
     def points_per_voxel(self) -> int:
-        return self.pts.shape[1]
+        return (self.data.shape[1] - 4) // 3
+
+    @property
+    def keys(self) -> jax.Array:
+        return self.data[:, :3].astype(jnp.int32)
+
+    @property
+    def count(self) -> jax.Array:
+        return self.data[:, 3].astype(jnp.int32)
+
+    @property
+    def pts(self) -> jax.Array:
+        V, K = self.num_slots, self.points_per_voxel
+        return self.data[:, 4:].reshape(V, K, 3)
 
     def num_points(self) -> jax.Array:
         return jnp.sum(self.count)
@@ -62,7 +100,7 @@ class VoxelHashMap(NamedTuple):
         return jnp.sum(self.count > 0)
 
     def is_empty(self) -> jax.Array:
-        return jnp.all(self.count == 0)
+        return jnp.all(self.data[:, 3] == 0)
 
     @staticmethod
     def create(num_slots: int, points_per_voxel: int, voxel_size) -> "VoxelHashMap":
@@ -70,17 +108,15 @@ class VoxelHashMap(NamedTuple):
             raise ValueError("num_slots must be a power of two")
         return VoxelHashMap(
             voxel_size=jnp.asarray(voxel_size, jnp.float32),
-            keys=jnp.zeros((num_slots, 3), jnp.int32),
-            count=jnp.zeros((num_slots,), jnp.int32),
-            pts=jnp.zeros((num_slots, points_per_voxel, 3), jnp.float32),
+            data=jnp.zeros((num_slots, 4 + 3 * points_per_voxel), jnp.float32),
         )
 
     def clear(self) -> "VoxelHashMap":
-        return self._replace(count=jnp.zeros_like(self.count))
+        return self._replace(data=self.data.at[:, 3].set(0.0))
 
 
 def claim_slots(
-    keys: jax.Array,  # (V, 3) current slot keys
+    keys: jax.Array,  # (V, 3) current slot keys (i32)
     slot_used: jax.Array,  # (V,) bool — slot currently owned by some voxel
     coords: jax.Array,  # (n, 3) voxel coords of the incoming points
     slot: jax.Array,  # (n,) hash slot per point
@@ -119,12 +155,13 @@ def claim_slots(
 def insert(m: VoxelHashMap, pc: PointCloud) -> VoxelHashMap:
     """Insert the valid points of ``pc`` (already in map/global frame)."""
     V, K = m.num_slots, m.points_per_voxel
+    row = 4 + 3 * K
     n = pc.capacity
-    idx = jnp.arange(n, dtype=jnp.int32)
 
     coords = voxel_coords(pc.xyz, m.voxel_size)  # (n, 3)
     slot = voxel_hash(coords, V)  # (n,)
-    accept, claim_ok = claim_slots(m.keys, m.count > 0, coords, slot, pc.valid)
+    cnt = m.count
+    accept, claim_ok = claim_slots(m.keys, cnt > 0, coords, slot, pc.valid)
 
     # Phase 2: per-slot arrival rank via one sort over the batch.  Sort key
     # packs (slot, idx) so ranks follow input order within a slot.
@@ -140,20 +177,25 @@ def insert(m: VoxelHashMap, pc: PointCloud) -> VoxelHashMap:
     rank_sorted = pos - head_pos
     rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
 
-    dest = m.count[slot] + rank
+    dest = cnt[slot] + rank
     store = accept & (dest < K)
 
-    flat_dest = jnp.where(store, slot * K + dest, V * K)  # OOB -> dropped
-    pts_flat = m.pts.reshape(V * K, 3)
-    pts_flat = pts_flat.at[flat_dest].set(pc.xyz, mode="drop")
-
-    new_count = m.count.at[slot].add(jnp.where(store, 1, 0), mode="drop")
-    # Only claimants write keys (non-claimants scattering a stale key could
-    # land after the claimant's write and clobber it — scatter order with
-    # duplicate indices is unspecified).  All claim_ok points of one slot
-    # share the same coords, so duplicates are harmless here.
-    new_keys = m.keys.at[jnp.where(claim_ok, slot, m.num_slots)].set(coords, mode="drop")
-    return m._replace(keys=new_keys, count=new_count, pts=pts_flat.reshape(V, K, 3))
+    flat = m.data.reshape(-1)
+    oob = jnp.int32(V * row)
+    # points: 3 consecutive f32 at data[slot, 4 + 3*dest]
+    base_idx = jnp.where(store, slot * row + 4 + dest * 3, oob)
+    flat = flat.at[base_idx[:, None] + jnp.arange(3, dtype=jnp.int32)[None]].set(
+        pc.xyz, mode="drop"
+    )
+    # count: +1 per stored point
+    flat = flat.at[jnp.where(store, slot * row + 3, oob)].add(1.0, mode="drop")
+    # keys: only claimants write (scatter order with duplicate indices is
+    # unspecified; all claim_ok points of one slot share the same coords)
+    key_idx = jnp.where(claim_ok, slot * row, oob)
+    flat = flat.at[key_idx[:, None] + jnp.arange(3, dtype=jnp.int32)[None]].set(
+        coords.astype(jnp.float32), mode="drop"
+    )
+    return m._replace(data=flat.reshape(V, row))
 
 
 def prune_farther_than(m: VoxelHashMap, center: jax.Array, distance) -> VoxelHashMap:
@@ -162,55 +204,59 @@ def prune_farther_than(m: VoxelHashMap, center: jax.Array, distance) -> VoxelHas
     Mirrors ``remove_voxels_farther_than`` (L1 metric per SURVEY §2.3 /
     pipelines/lidar3d-default.yaml:237-238).  ``distance <= 0`` disables.
     """
-    centers = (m.keys.astype(jnp.float32) + 0.5) * m.voxel_size
+    centers = (m.data[:, :3] + 0.5) * m.voxel_size
     l1 = jnp.max(jnp.abs(centers - center), axis=-1)
     keep = (l1 <= distance) | (distance <= 0)
-    return m._replace(count=jnp.where(keep, m.count, 0))
+    return m._replace(data=m.data.at[:, 3].mul(keep.astype(jnp.float32)))
+
+
+def _gather_candidates(m: VoxelHashMap, queries: jax.Array, neighbors: int):
+    """One fused gather of the packed neighborhood rows.
+
+    Returns ``(pts (N,P,K,3), cmask (N,P,K))`` — candidate points and their
+    validity (slot live, key matches, within per-slot count).
+    """
+    V, K = m.num_slots, m.points_per_voxel
+    n = queries.shape[0]
+    base = voxel_coords(queries, m.voxel_size)
+    cand = neighbor_coords(queries, base, m.voxel_size, neighbors)  # (N,P,3)
+    P = cand.shape[1]
+    slots = voxel_hash(cand, V)  # (N, P)
+
+    g = m.data[slots.reshape(-1)].reshape(n, P, 4 + 3 * K)  # ONE gather
+    key_ok = jnp.all(g[..., :3] == cand.astype(jnp.float32), axis=-1)
+    cnt = g[..., 3]
+    live = key_ok & (cnt > 0)
+    pts = g[..., 4:].reshape(n, P, K, 3)
+    jslots = jnp.arange(K, dtype=jnp.float32)
+    cmask = live[..., None] & (jslots < cnt[..., None])
+    return pts, cmask
 
 
 def query_nn(
-    m: VoxelHashMap, queries: jax.Array, valid: jax.Array
+    m: VoxelHashMap, queries: jax.Array, valid: jax.Array, *, neighbors: int = 27
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Nearest map point of each query within its 27-voxel neighborhood.
+    """Nearest map point of each query within its voxel neighborhood.
 
     Returns ``(nn_xyz (N,3), dist2 (N,), found (N,))``.  ``found`` is False
     for invalid queries and queries with no candidate in the neighborhood;
     the caller applies the (dynamic, annealed) distance threshold on top,
     mirroring Matcher_Points_DistanceThreshold's ``threshold`` parameter.
     """
-    K = m.points_per_voxel
     n = queries.shape[0]
-    base = voxel_coords(queries, m.voxel_size)  # (N, 3)
-
-    best_d2 = jnp.full((n,), jnp.inf, jnp.float32)
-    best_pt = jnp.zeros((n, 3), jnp.float32)
-
-    jslots = jnp.arange(K, dtype=jnp.int32)[None, :]  # (1, K)
-
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dz in (-1, 0, 1):
-                off = jnp.asarray([dx, dy, dz], jnp.int32)
-                c = base + off
-                s = voxel_hash(c, m.num_slots)
-                key_ok = jnp.all(m.keys[s] == c, axis=-1) & (m.count[s] > 0)
-                cand = m.pts[s]  # (N, K, 3)
-                cmask = key_ok[:, None] & (jslots < m.count[s][:, None])  # (N, K)
-                d2 = jnp.sum((cand - queries[:, None, :]) ** 2, axis=-1)
-                d2 = jnp.where(cmask, d2, jnp.inf)
-                j = jnp.argmin(d2, axis=-1)
-                dmin = jnp.take_along_axis(d2, j[:, None], axis=-1)[:, 0]
-                pmin = jnp.take_along_axis(cand, j[:, None, None], axis=-2)[:, 0]
-                better = dmin < best_d2
-                best_d2 = jnp.where(better, dmin, best_d2)
-                best_pt = jnp.where(better[:, None], pmin, best_pt)
-
-    found = valid & jnp.isfinite(best_d2)
-    return best_pt, jnp.where(found, best_d2, jnp.inf), found
+    pts, cmask = _gather_candidates(m, queries, neighbors)
+    P, K = pts.shape[1], pts.shape[2]
+    d2 = jnp.sum((pts - queries[:, None, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(cmask, d2, jnp.inf).reshape(n, P * K)
+    j = jnp.argmin(d2, axis=-1)
+    dmin = jnp.take_along_axis(d2, j[:, None], axis=-1)[:, 0]
+    pmin = jnp.take_along_axis(pts.reshape(n, P * K, 3), j[:, None, None], axis=-2)[:, 0]
+    found = valid & jnp.isfinite(dmin)
+    return pmin, jnp.where(found, dmin, jnp.inf), found
 
 
 def query_nn2(
-    m: VoxelHashMap, queries: jax.Array, valid: jax.Array
+    m: VoxelHashMap, queries: jax.Array, valid: jax.Array, *, neighbors: int = 27
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Two nearest map points per query (``pairingsPerPoint: 2``).
 
@@ -219,35 +265,14 @@ def query_nn2(
     ``(nn_xyz (N,2,3), dist2 (N,2), found (N,2))``; slot 1 may be un-found
     when the neighborhood holds a single candidate.
     """
-    K = m.points_per_voxel
     n = queries.shape[0]
-    base = voxel_coords(queries, m.voxel_size)
-
-    best_d2 = jnp.full((n, 2), jnp.inf, jnp.float32)
-    best_pt = jnp.zeros((n, 2, 3), jnp.float32)
-
-    jslots = jnp.arange(K, dtype=jnp.int32)[None, :]
-
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dz in (-1, 0, 1):
-                off = jnp.asarray([dx, dy, dz], jnp.int32)
-                c = base + off
-                s = voxel_hash(c, m.num_slots)
-                key_ok = jnp.all(m.keys[s] == c, axis=-1) & (m.count[s] > 0)
-                cand = m.pts[s]  # (N, K, 3)
-                cmask = key_ok[:, None] & (jslots < m.count[s][:, None])
-                d2 = jnp.sum((cand - queries[:, None, :]) ** 2, axis=-1)
-                d2 = jnp.where(cmask, d2, jnp.inf)
-                # merge this voxel's top-2 with the running top-2
-                v2, vi = jax.lax.top_k(-d2, 2)  # (N, 2) negated distances
-                vpts = jnp.take_along_axis(cand, vi[:, :, None], axis=-2)
-                all_d2 = jnp.concatenate([best_d2, -v2], axis=-1)  # (N, 4)
-                all_pt = jnp.concatenate([best_pt, vpts], axis=-2)  # (N, 4, 3)
-                t2, ti = jax.lax.top_k(-all_d2, 2)
-                best_d2 = -t2
-                best_pt = jnp.take_along_axis(all_pt, ti[:, :, None], axis=-2)
-
+    pts, cmask = _gather_candidates(m, queries, neighbors)
+    P, K = pts.shape[1], pts.shape[2]
+    d2 = jnp.sum((pts - queries[:, None, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(cmask, d2, jnp.inf).reshape(n, P * K)
+    top2, ti = jax.lax.top_k(-d2, 2)
+    best_pt = jnp.take_along_axis(pts.reshape(n, P * K, 3), ti[:, :, None], axis=-2)
+    best_d2 = -top2
     found = valid[:, None] & jnp.isfinite(best_d2)
     return best_pt, jnp.where(found, best_d2, jnp.inf), found
 
@@ -260,6 +285,7 @@ def query_p2pl(
     search_radius: float = 0.8,
     min_plane_points: int = 6,
     plane_eigen_threshold: float = 1e-2,
+    neighbors: int = 27,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Point-to-plane query against a *point* map: fit a local plane per
     query from the neighborhood points.
@@ -268,7 +294,7 @@ def query_p2pl(
     pipelines/rgbd.yaml:143-151: ``searchRadius``, ``knn``,
     ``minimumPlanePoints``, ``planeEigenThreshold``): the reference fits the
     plane to the k nearest neighbors; here the fit uses *all* candidate
-    points of the 27-voxel neighborhood within ``search_radius`` — same
+    points of the voxel neighborhood within ``search_radius`` — same
     estimator, slightly larger support, fixed shape.
 
     Returns ``(plane_pt, normal, dist2, found)`` with ``dist2`` the squared
@@ -276,32 +302,16 @@ def query_p2pl(
     """
     from mola_lidar_odometry_tpu.ops import ndt as _ndt  # local: avoid cycle
 
-    K = m.points_per_voxel
     n = queries.shape[0]
-    base = voxel_coords(queries, m.voxel_size)
-    r2max = jnp.float32(search_radius * search_radius)
+    pts, cmask = _gather_candidates(m, queries, neighbors)
+    d2 = jnp.sum((pts - queries[:, None, None, :]) ** 2, axis=-1)
+    w = (cmask & (d2 <= search_radius * search_radius)).astype(jnp.float32)
 
-    cnt = jnp.zeros((n,), jnp.float32)
-    s = jnp.zeros((n, 3), jnp.float32)
-    ss = jnp.zeros((n, 6), jnp.float32)
-    jslots = jnp.arange(K, dtype=jnp.int32)[None, :]
-
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dz in (-1, 0, 1):
-                off = jnp.asarray([dx, dy, dz], jnp.int32)
-                c = base + off
-                sl = voxel_hash(c, m.num_slots)
-                key_ok = jnp.all(m.keys[sl] == c, axis=-1) & (m.count[sl] > 0)
-                cand = m.pts[sl]  # (N, K, 3)
-                cmask = key_ok[:, None] & (jslots < m.count[sl][:, None])
-                d2 = jnp.sum((cand - queries[:, None, :]) ** 2, axis=-1)
-                w = (cmask & (d2 <= r2max)).astype(jnp.float32)  # (N, K)
-                cnt = cnt + jnp.sum(w, axis=-1)
-                s = s + jnp.einsum("nk,nkc->nc", w, cand)
-                x, y, z = cand[..., 0], cand[..., 1], cand[..., 2]
-                mom = jnp.stack([x * x, y * y, z * z, x * y, x * z, y * z], -1)
-                ss = ss + jnp.einsum("nk,nkc->nc", w, mom)
+    cnt = jnp.sum(w, axis=(1, 2))  # (N,)
+    s = jnp.einsum("npk,npkc->nc", w, pts)
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    mom = jnp.stack([x * x, y * y, z * z, x * y, x * z, y * z], -1)
+    ss = jnp.einsum("npk,npkc->nc", w, mom)
 
     nf = jnp.maximum(cnt, 1.0)[:, None]
     mean = s / nf
@@ -317,8 +327,8 @@ def query_p2pl(
     found = valid & plane_ok
     dpl = jnp.sum(nrm * (queries - mean), axis=-1)
     plane_pt = queries - dpl[:, None] * nrm
-    d2 = jnp.where(found, dpl * dpl, jnp.inf)
-    return plane_pt, nrm, d2, found
+    d2q = jnp.where(found, dpl * dpl, jnp.inf)
+    return plane_pt, nrm, d2q, found
 
 
 def as_pointcloud(m: VoxelHashMap, capacity: int) -> PointCloud:

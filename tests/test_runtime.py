@@ -173,3 +173,26 @@ class TestAuxHandlers:
         lo.reset()
         lo.on_imu(0.0, {"wx": 0.1})
         assert len(lo._imu_buffer) == 1
+
+
+def test_icp_debug_logs(tmp_path, monkeypatch, tiny_lo):
+    """MP2P_ICP_GENERATE_DEBUG_FILES=1 produces .icplog.npz files."""
+    import os
+
+    import numpy as np
+
+    from mola_lidar_odometry_tpu.models.odometry import LidarOdometry
+    from mola_lidar_odometry_tpu.utils import sim
+
+    monkeypatch.setenv("MP2P_ICP_GENERATE_DEBUG_FILES", "1")
+    monkeypatch.setenv("MP2P_ICP_LOG_FILES_DECIMATION", "1")
+    monkeypatch.chdir(tmp_path)
+    lo = LidarOdometry(tiny_lo.spec)  # same compiled spec, fresh instance
+    assert lo._icp_log is not None
+    traj, scans = sim.simulate_sequence(2, n_rings=8, n_azimuth=128)
+    for k, (xyz, times, rings, valid) in enumerate(scans):
+        lo.on_lidar_scan(xyz[valid], traj.stamps[k], times=times[valid])
+    logs = sorted((tmp_path / "icp-logs").glob("*.icplog.npz"))
+    assert len(logs) == 2
+    d = np.load(logs[1])
+    assert d["poses_t"].shape[1] == 3 and d["paired"].shape[0] == 30
