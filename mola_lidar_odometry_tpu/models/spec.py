@@ -222,6 +222,7 @@ def _icp_from_yaml(block: dict, spec_hook: Tuple[float, float]) -> Tuple[IcpConf
         gn_inner_iterations=int(float(gn.get("maxIterations", 2))),
         horn=horn,
         nn_neighbors=int(os.environ.get("MOLA_TPU_NN_NEIGHBORS", 27)),
+        anderson_m=int(os.environ.get("MOLA_TPU_ICP_ANDERSON", 0)),
         hook_min_trans=hook_trans,
         hook_min_rot=hook_rot,
     )

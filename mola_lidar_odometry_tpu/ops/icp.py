@@ -92,6 +92,12 @@ class IcpConfig:
     # exact within one voxel); 8 = nearest 2x2x2 block (exact within half a
     # voxel, ~3x cheaper gathers; fine once tracking has converged)
     nn_neighbors: int = 27
+    # Anderson acceleration depth over the fixed-point pose iteration
+    # (AA-ICP, Pavlov et al., arXiv:1709.05479 — PAPERS.md): 0 = off
+    # (reference-parity), m>=2 extrapolates from the last m (pose, update)
+    # pairs in the tangent space with a residual-growth safeguard.  Cuts the
+    # iteration count roughly in half on the KITTI-like benchmark.
+    anderson_m: int = 0
     # iteration-hook (twist re-optimization) thresholds; 0 disables
     hook_min_trans: float = 0.0
     hook_min_rot: float = 0.0
@@ -169,15 +175,12 @@ def align(
         cfg.max_iterations if max_iterations is None else max_iterations, jnp.int32
     )
     hook_on = cfg.hook_min_trans > 0 or cfg.hook_min_rot > 0
+    m_aa = cfg.anderson_m
 
-    def body(state):
-        pose, it, _, _, horn_active = state
-        env_it = dict(env)
-        env_it["ICP_ITERATION"] = it.astype(jnp.float32)
+    def solver_update(pose, it, horn_active, env_it):
+        """One matcher + solver pass: the fixed-point map G(pose)."""
         kernel_c = cfg.kernel_param(env_it)
-
         blocks, _, _ = _matcher_blocks(cfg, maps, layers, pose, env_it, it)
-
         gn_pose, _ = solve_gauss_newton_blocks(
             pose, blocks, kernel_c, prior, cfg.gn_inner_iterations
         )
@@ -197,6 +200,58 @@ def align(
             )
         else:
             new_pose = gn_pose
+        return new_pose, horn_active
+
+    def body(state):
+        pose, it, _, _, horn_active, X, Fh, hlen = state
+        env_it = dict(env)
+        env_it["ICP_ITERATION"] = it.astype(jnp.float32)
+
+        new_pose, horn_active = solver_update(pose, it, horn_active, env_it)
+
+        if m_aa >= 2:
+            # Anderson acceleration in the tangent space at init_pose
+            # (AA-ICP): x = log(init^-1 pose), f = G(x) - x; extrapolate
+            # x+ = sum_i a_i (X_i + F_i) with sum a = 1 minimizing |F a|.
+            x_cur = se3.se3_log(se3.relative(init_pose, pose))
+            x_new = se3.se3_log(se3.relative(init_pose, new_pose))
+            f_cur = x_new - x_cur
+            # shift history (newest last)
+            X2 = jnp.concatenate([X[1:], x_cur[None]], axis=0)
+            F2 = jnp.concatenate([Fh[1:], f_cur[None]], axis=0)
+            hlen2 = jnp.minimum(hlen + 1, m_aa)
+            hmask = (jnp.arange(m_aa) >= (m_aa - hlen2)).astype(jnp.float32)
+            # solve min |F a|^2 s.t. 1'a = 1 via normal equations + Lagrange:
+            # a = M^-1 1 / (1' M^-1 1), M = F F' (+ reg), masked rows pinned
+            M = (F2 * hmask[:, None]) @ (F2 * hmask[:, None]).T
+            M = M + 1e-10 * jnp.trace(M) * jnp.eye(m_aa) + 1e-12 * jnp.eye(m_aa)
+            # pin unused history slots to a=0 by giving them huge diagonal
+            M = M + (1.0 - hmask)[:, None] * (1.0 - hmask)[None, :] * 1e12 * jnp.eye(m_aa)
+            ones = hmask  # only live rows participate in the sum-to-1
+            Minv_1 = jnp.linalg.solve(M, ones)
+            denom = jnp.sum(ones * Minv_1)
+            alpha = Minv_1 / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
+            x_aa = jnp.sum(alpha[:, None] * (X2 + F2) * hmask[:, None], axis=0)
+            aa_pose = se3.compose(init_pose, se3.se3_exp(x_aa))
+            # Safeguards (AA-ICP §III): require >=2 usable residuals, finite
+            # well-conditioned mixing (bounded coefficients), monotone
+            # residuals, and an extrapolation that stays within the scale of
+            # the plain update — otherwise take the un-accelerated step.
+            prev_f = Fh[-1]
+            fn = jnp.linalg.norm(f_cur)
+            ok = (
+                (hlen2 >= 2)
+                & jnp.all(jnp.isfinite(x_aa))
+                & (jnp.max(jnp.abs(alpha * hmask)) <= 2.0)
+                & (fn <= jnp.linalg.norm(prev_f) * 1.5 + 1e-6)
+                & (jnp.linalg.norm(x_aa - x_new) <= 3.0 * fn)
+                & ~horn_active
+            )
+            new_pose = Pose(
+                jnp.where(ok, aa_pose.R, new_pose.R),
+                jnp.where(ok, aa_pose.t, new_pose.t),
+            )
+            X, Fh, hlen = X2, F2, hlen2
 
         dt, dr = se3.pose_error_norms(pose, new_pose)
         converged = (dt < cfg.min_abs_step_trans) & (dr < cfg.min_abs_step_rot)
@@ -206,20 +261,24 @@ def align(
             hook = (ht > cfg.hook_min_trans) | (hr > cfg.hook_min_rot)
         else:
             hook = jnp.asarray(False)
-        return new_pose, it + 1, converged, hook, horn_active
+        return new_pose, it + 1, converged, hook, horn_active, X, Fh, hlen
 
     def cond(state):
-        _, it, converged, hook, _ = state
+        _, it, converged, hook = state[:4]
         return (~converged) & (~hook) & (it < budget)
 
+    m_hist = max(m_aa, 1)
     state0 = (
         init_pose,
         jnp.int32(0),
         jnp.asarray(False),
         jnp.asarray(False),
         jnp.asarray(cfg.horn is not None),
+        jnp.zeros((m_hist, 6), jnp.float32),
+        jnp.zeros((m_hist, 6), jnp.float32),
+        jnp.int32(0),
     )
-    pose, it, converged, hook, _ = jax.lax.while_loop(cond, body, state0)
+    pose, it, converged, hook = jax.lax.while_loop(cond, body, state0)[:4]
 
     # Quality: paired ratio at the final pose/threshold
     env_q = dict(env)
