@@ -63,11 +63,6 @@ def gen_scans():
 
 
 def main():
-    # fast-NN production config: probe the nearest 2x2x2 voxel block (exact
-    # for matches within voxel_size/2; measured quality 0.975 vs 0.991 with
-    # the full 27-probe on this benchmark, all frames accepted)
-    os.environ.setdefault("MOLA_TPU_NN_NEIGHBORS", "8")
-
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.path.join(HERE, ".jax_cache"))

@@ -305,18 +305,30 @@ class LidarOdometry:
                 self.simplemap.append(kf)
 
         if self.spec.debug_traces_save:
+            # full dynamic-variable dump per frame, like the reference's
+            # doWriteDebugTracesFile (LidarOdometry.cpp:2247-2282)
+            tw = np.asarray(out.twist, np.float64)
+            t = np.asarray(out.pose_t, np.float64)
+            yaw, pitch, roll = (
+                float(x) for x in se3.rot_to_ypr(out.pose_R)
+            )
             self.traces.append(
                 {
                     "stamp": float(out.stamp),
-                    "quality": float(out.quality),
-                    "sigma": float(out.sigma),
+                    "vx": tw[0], "vy": tw[1], "vz": tw[2],
+                    "wx": tw[3], "wy": tw[4], "wz": tw[5],
+                    "robot_x": t[0], "robot_y": t[1], "robot_z": t[2],
+                    "robot_yaw": yaw, "robot_pitch": pitch, "robot_roll": roll,
+                    "ADAPTIVE_THRESHOLD_SIGMA": float(out.sigma),
                     "icp_iterations": int(out.iterations),
-                    "twist_corrections": int(out.corrections),
-                    "est_sensor_range": float(out.est_range),
+                    "twistCorrectionCount": int(out.corrections),
+                    "ESTIMATED_SENSOR_MAX_RANGE": float(out.est_range),
+                    "icp_quality": float(out.quality),
                     "n_raw": int(out.n_raw),
                     "n_icp": int(out.n_icp_layer),
                     "accepted": int(bool(out.accepted)),
                     "kf_local": int(bool(out.kf_local)),
+                    "onLidar_time_ms": 1e3 * self.profiler.last("onLidar"),
                 }
             )
 

@@ -448,28 +448,35 @@ def make_step(spec: OdometrySpec) -> Callable[[Carry, Scan], Tuple[Carry, StepOu
             )
             maps_pre[name] = m0
 
-        maps_post = dict(maps_pre)
-        for op in spec.map_inserts:
-            insert_pc = layers_f.get(op.input_layer)
-            if insert_pc is None:
-                insert_pc = layers_f[spec.icp_local_layer]
-            insert_global = insert_pc._replace(
-                xyz=se3.transform(new_pose, insert_pc.xyz),
-                valid=insert_pc.valid & update_local_map,
-            )
-            maps_post[op.target_map_layer] = maps_ops.insert(
-                maps_post[op.target_map_layer],
-                insert_global,
-                sensor_origin=new_pose.t,
-                layer_def=layer_defs[op.target_map_layer],
-            )
-        for name, d in layer_defs.items():
-            prune_dist = d.remove_voxels_farther_than(env_map)
-            maps_post[name] = maps_ops.prune_farther_than(
-                maps_post[name], new_pose.t, prune_dist
-            )
-        m_final = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(update_local_map, a, b), maps_post, maps_pre
+        # The merge + prune graph runs under lax.cond so non-keyframe scans
+        # skip the insert scatters entirely (the reference only touches the
+        # map on KF frames, LidarOdometry.cpp:1161-1206; under vmap the cond
+        # degrades to a select, same as before).
+        def do_map_update(maps_in: Dict[str, Any]) -> Dict[str, Any]:
+            maps_post = dict(maps_in)
+            for op in spec.map_inserts:
+                insert_pc = layers_f.get(op.input_layer)
+                if insert_pc is None:
+                    insert_pc = layers_f[spec.icp_local_layer]
+                insert_global = insert_pc._replace(
+                    xyz=se3.transform(new_pose, insert_pc.xyz),
+                    valid=insert_pc.valid & update_local_map,
+                )
+                maps_post[op.target_map_layer] = maps_ops.insert(
+                    maps_post[op.target_map_layer],
+                    insert_global,
+                    sensor_origin=new_pose.t,
+                    layer_def=layer_defs[op.target_map_layer],
+                )
+            for name, d in layer_defs.items():
+                prune_dist = d.remove_voxels_farther_than(env_map)
+                maps_post[name] = maps_ops.prune_farther_than(
+                    maps_post[name], new_pose.t, prune_dist
+                )
+            return maps_post
+
+        m_final = jax.lax.cond(
+            update_local_map, do_map_update, lambda ms: ms, maps_pre
         )
 
         icp_layer_pc = layers_f.get(spec.icp_local_layer, raw_pc)

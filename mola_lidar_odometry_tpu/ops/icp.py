@@ -111,47 +111,62 @@ class IcpResult(NamedTuple):
     converged: jax.Array  # () bool
 
 
-def _matcher_blocks(
+def _capture_all(
     cfg: IcpConfig,
     maps: Dict[str, Any],
+    layers: Dict[str, Tuple[jax.Array, jax.Array]],
+    pose: Pose,
+) -> Tuple[Any, ...]:
+    """One neighborhood capture per matcher at ``pose`` (the only memory-
+    bound part of matching: a single fused gather per matcher)."""
+    sets = []
+    for mc in cfg.matchers:
+        xyz, _ = layers[mc.local_layer]
+        q = se3.transform(pose, xyz)
+        sets.append(maps_ops.capture(maps[mc.global_layer], q, cfg.nn_neighbors))
+    return tuple(sets)
+
+
+def _matcher_blocks(
+    cfg: IcpConfig,
+    candsets: Tuple[Any, ...],
     layers: Dict[str, Tuple[jax.Array, jax.Array]],
     pose: Pose,
     env_it: Dict[str, jax.Array],
     it: jax.Array,
 ) -> Tuple[List[PairingBlock], jax.Array, jax.Array]:
-    """Run every matcher at ``pose``; returns (blocks, paired, n_local)."""
+    """Match every matcher's cached candidates at ``pose`` (pure compute);
+    returns (blocks, paired, n_local)."""
     blocks: List[PairingBlock] = []
     paired = jnp.float32(0.0)
     n_local = jnp.float32(0.0)
-    for mc in cfg.matchers:
+    for mc, cand in zip(cfg.matchers, candsets):
         xyz, valid = layers[mc.local_layer]
-        m = maps[mc.global_layer]
         thr = jnp.asarray(mc.threshold(env_it), jnp.float32)
         active = it >= mc.run_from_iteration
         if mc.run_up_to_iteration > 0:
             active = active & (it <= mc.run_up_to_iteration)
         q = se3.transform(pose, xyz)
         if mc.kind == "point2plane":
-            tgt, nrm, d2, found = maps_ops.query_p2pl(
-                m,
+            tgt, nrm, d2, found = maps_ops.match_p2pl(
+                cand,
                 q,
                 valid,
                 search_radius=mc.search_radius,
                 min_plane_points=mc.min_plane_points,
                 plane_eigen_threshold=mc.plane_eigen_threshold,
-                neighbors=cfg.nn_neighbors,
             )
             pv = found & (d2 < thr * thr) & active
             blocks.append(PairingBlock("p2pl", xyz, tgt, nrm, pv, mc.weight))
         elif mc.pairings_per_point >= 2:
-            tgt2, d22, found2 = maps_ops.query_p2p2(m, q, valid, neighbors=cfg.nn_neighbors)
+            tgt2, d22, found2 = maps_ops.match_p2p2(cand, q, valid)
             pv2 = found2 & (d22 < thr * thr) & active[..., None]
             z = jnp.zeros_like(xyz)
             blocks.append(PairingBlock("p2p", xyz, tgt2[:, 0], z, pv2[:, 0], mc.weight))
             blocks.append(PairingBlock("p2p", xyz, tgt2[:, 1], z, pv2[:, 1], mc.weight))
             pv = pv2[:, 0]
         else:
-            tgt, d2, found = maps_ops.query_p2p(m, q, valid, neighbors=cfg.nn_neighbors)
+            tgt, d2, found = maps_ops.match_p2p(cand, q, valid)
             pv = found & (d2 < thr * thr) & active
             blocks.append(PairingBlock("p2p", xyz, tgt, jnp.zeros_like(xyz), pv, mc.weight))
         paired = paired + jnp.sum(pv).astype(jnp.float32)
@@ -177,10 +192,27 @@ def align(
     hook_on = cfg.hook_min_trans > 0 or cfg.hook_min_rot > 0
     m_aa = cfg.anderson_m
 
+    # Capture-once matching: when the twist-reopt hook bounds the in-align
+    # pose correction (<= hook_min_trans ~ 0.15 m, far below the probe
+    # margin), the neighborhood candidate set gathered at the ENTRY pose
+    # stays a superset of the true neighborhood for the whole align(), so
+    # the gather leaves the iteration loop entirely (iterations become pure
+    # compute).  Without the hook (and with a Horn coarse stage) corrections
+    # can exceed a voxel, so candidates are re-captured every iteration.
+    cache_ok = hook_on and cfg.horn is None
+    candsets0 = _capture_all(cfg, maps, layers, init_pose)
+
+    def get_candsets(pose, it):
+        if cache_ok:
+            return candsets0
+        return _capture_all(cfg, maps, layers, pose)
+
     def solver_update(pose, it, horn_active, env_it):
         """One matcher + solver pass: the fixed-point map G(pose)."""
         kernel_c = cfg.kernel_param(env_it)
-        blocks, _, _ = _matcher_blocks(cfg, maps, layers, pose, env_it, it)
+        blocks, _, _ = _matcher_blocks(
+            cfg, get_candsets(pose, it), layers, pose, env_it, it
+        )
         gn_pose, _ = solve_gauss_newton_blocks(
             pose, blocks, kernel_c, prior, cfg.gn_inner_iterations
         )
@@ -283,7 +315,9 @@ def align(
     # Quality: paired ratio at the final pose/threshold
     env_q = dict(env)
     env_q["ICP_ITERATION"] = it.astype(jnp.float32)
-    _, paired, n_local = _matcher_blocks(cfg, maps, layers, pose, env_q, it)
+    _, paired, n_local = _matcher_blocks(
+        cfg, get_candsets(pose, it), layers, pose, env_q, it
+    )
     quality = paired / jnp.maximum(n_local, 1.0)
 
     return IcpResult(pose=pose, quality=quality, iterations=it, hook_stop=hook, converged=converged)

@@ -153,6 +153,50 @@ def set_voxel_size(state, voxel_size):
     return state._replace(voxel_size=jnp.asarray(voxel_size, jnp.float32))
 
 
+def capture(state, queries, neighbors: int = 27):
+    """Gather the neighborhood candidate set once (see CandSet docstrings)."""
+    if isinstance(state, voxel_hash.VoxelHashMap):
+        return voxel_hash.capture(state, queries, neighbors)
+    if isinstance(state, ndt.NdtMap):
+        return ndt.capture(state, queries, neighbors)
+    if isinstance(state, occupancy.OccupancyMap):
+        return occupancy.capture(state, queries, neighbors)
+    raise TypeError(type(state))
+
+
+def match_p2p(candset, queries, valid):
+    """Nearest cached candidate (pure compute)."""
+    if isinstance(candset, voxel_hash.CandSet):
+        return voxel_hash.nn_from(candset, queries, valid)
+    if isinstance(candset, ndt.NdtCandSet):
+        return ndt.p2p_from(candset, queries, valid)
+    if isinstance(candset, occupancy.OccCandSet):
+        return occupancy.p2p_from(candset, queries, valid)
+    raise TypeError(type(candset))
+
+
+def match_p2p2(candset, queries, valid):
+    if isinstance(candset, voxel_hash.CandSet):
+        return voxel_hash.nn2_from(candset, queries, valid)
+    if isinstance(candset, occupancy.OccCandSet):
+        return occupancy.p2p2_from(candset, queries, valid)
+    raise TypeError(f"pairingsPerPoint=2 unsupported for {type(candset)}")
+
+
+def match_p2pl(candset, queries, valid, *, search_radius=0.8, min_plane_points=6,
+               plane_eigen_threshold=1e-2):
+    if isinstance(candset, ndt.NdtCandSet):
+        return ndt.p2pl_from(candset, queries, valid)
+    if isinstance(candset, voxel_hash.CandSet):
+        return voxel_hash.p2pl_from(
+            candset, queries, valid,
+            search_radius=search_radius,
+            min_plane_points=min_plane_points,
+            plane_eigen_threshold=plane_eigen_threshold,
+        )
+    raise TypeError(f"point-to-plane matching unsupported for {type(candset)}")
+
+
 def query_p2p(
     state, queries, valid, *, neighbors: int = 27
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:

@@ -172,7 +172,9 @@ def insert(m: NdtMap, pc: PointCloud) -> NdtMap:
     V = m.num_slots
     coords = voxel_coords(pc.xyz, m.voxel_size)
     slot = voxel_hash(coords, V)
-    accept, claim_ok = claim_slots(m.keys, m.n > 0, coords, slot, pc.valid)
+    g4 = m.qdata[slot, :4]  # ONE gather of [key3|n] per point
+    same_key = jnp.all(g4[:, :3] == coords.astype(jnp.float32), axis=-1)
+    accept, claim_ok = claim_slots(same_key, g4[:, 3] > 0, coords, slot, pc.valid, V)
 
     w = accept.astype(jnp.float32)
     x, y, z = pc.xyz[:, 0], pc.xyz[:, 1], pc.xyz[:, 2]
@@ -197,25 +199,31 @@ def prune_farther_than(m: NdtMap, center: jax.Array, distance) -> NdtMap:
     return m._replace(qdata=qdata)
 
 
-def _gather_rows(m: NdtMap, queries: jax.Array, neighbors: int):
+class NdtCandSet(NamedTuple):
+    """Cached neighborhood Gaussians of a query batch (one fused gather)."""
+
+    mu: jax.Array  # (N, P, 3) voxel means
+    nrm: jax.Array  # (N, P, 3) plane normals
+    live: jax.Array  # (N, P) slot live + key match
+    plane_ok: jax.Array  # (N, P)
+
+
+def capture(m: NdtMap, queries: jax.Array, neighbors: int = 27) -> NdtCandSet:
     base = voxel_coords(queries, m.voxel_size)
     cand = neighbor_coords(queries, base, m.voxel_size, neighbors)  # (N,P,3)
     slots = voxel_hash(cand, m.num_slots)
     g = m.qdata[slots.reshape(-1)].reshape(cand.shape[0], cand.shape[1], 12)
     key_ok = jnp.all(g[..., :3] == cand.astype(jnp.float32), axis=-1)
     live = key_ok & (g[..., 3] > 0)
-    return g, live
+    return NdtCandSet(g[..., 4:7], g[..., 7:10], live, live & (g[..., 10] > 0))
 
 
-def query_p2p(
-    m: NdtMap, queries: jax.Array, valid: jax.Array, *, neighbors: int = 27
+def p2p_from(
+    cand: NdtCandSet, queries: jax.Array, valid: jax.Array
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Nearest voxel *mean* per query (the NDT pipeline's point-to-point
-    fallback matcher).  Returns ``(mean_xyz, dist2, found)``."""
-    n = queries.shape[0]
-    g, live = _gather_rows(m, queries, neighbors)
-    mu = g[..., 4:7]  # (N, P, 3)
-    d2 = jnp.where(live, jnp.sum((mu - queries[:, None, :]) ** 2, axis=-1), jnp.inf)
+    """Nearest cached voxel *mean* per query (point-to-point fallback)."""
+    mu = cand.mu
+    d2 = jnp.where(cand.live, jnp.sum((mu - queries[:, None, :]) ** 2, axis=-1), jnp.inf)
     j = jnp.argmin(d2, axis=-1)
     dmin = jnp.take_along_axis(d2, j[:, None], axis=-1)[:, 0]
     pmin = jnp.take_along_axis(mu, j[:, None, None], axis=-2)[:, 0]
@@ -223,28 +231,38 @@ def query_p2p(
     return pmin, jnp.where(found, dmin, jnp.inf), found
 
 
-def query_p2pl(
-    m: NdtMap, queries: jax.Array, valid: jax.Array, *, neighbors: int = 27
+def p2pl_from(
+    cand: NdtCandSet, queries: jax.Array, valid: jax.Array
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Nearest plane per query (Matcher_Point2Plane against mola::NDT).
+    """Nearest cached plane per query (Matcher_Point2Plane vs mola::NDT).
 
-    Selects the nearest-mean voxel with a valid plane fit in the probed
-    neighborhood.  Returns ``(plane_pt, normal, dist2, found)`` where
-    ``plane_pt`` is the query's orthogonal projection onto the plane and
-    ``dist2`` the squared point-plane distance (what ``distanceThreshold``
-    gates on).
+    Returns ``(plane_pt, normal, dist2, found)`` where ``plane_pt`` is the
+    query's orthogonal projection onto the plane and ``dist2`` the squared
+    point-plane distance (what ``distanceThreshold`` gates on).
     """
-    g, live = _gather_rows(m, queries, neighbors)
-    ok = live & (g[..., 10] > 0)
-    mu = g[..., 4:7]
-    d2 = jnp.where(ok, jnp.sum((mu - queries[:, None, :]) ** 2, axis=-1), jnp.inf)
+    mu = cand.mu
+    d2 = jnp.where(cand.plane_ok, jnp.sum((mu - queries[:, None, :]) ** 2, axis=-1), jnp.inf)
     j = jnp.argmin(d2, axis=-1)
     dmin = jnp.take_along_axis(d2, j[:, None], axis=-1)[:, 0]
     best_mu = jnp.take_along_axis(mu, j[:, None, None], axis=-2)[:, 0]
-    best_nrm = jnp.take_along_axis(g[..., 7:10], j[:, None, None], axis=-2)[:, 0]
+    best_nrm = jnp.take_along_axis(cand.nrm, j[:, None, None], axis=-2)[:, 0]
 
     found = valid & jnp.isfinite(dmin)
     dpl = jnp.sum(best_nrm * (queries - best_mu), axis=-1)  # signed plane dist
     plane_pt = queries - dpl[:, None] * best_nrm
     d2q = jnp.where(found, dpl * dpl, jnp.inf)
     return plane_pt, best_nrm, d2q, found
+
+
+def query_p2p(
+    m: NdtMap, queries: jax.Array, valid: jax.Array, *, neighbors: int = 27
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Single-shot nearest-mean query."""
+    return p2p_from(capture(m, queries, neighbors), queries, valid)
+
+
+def query_p2pl(
+    m: NdtMap, queries: jax.Array, valid: jax.Array, *, neighbors: int = 27
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Single-shot nearest-plane query."""
+    return p2pl_from(capture(m, queries, neighbors), queries, valid)

@@ -103,7 +103,12 @@ def _scatter_update(m: OccupancyMap, xyz, valid, delta) -> OccupancyMap:
     V = m.num_slots
     coords = voxel_coords(xyz, m.voxel_size)
     slot = voxel_hash(coords, V)
-    accept, claim_ok = claim_slots(m.keys, m.used, coords, slot, valid)
+    rows = jnp.concatenate(
+        [m.keys.astype(jnp.float32), m.used.astype(jnp.float32)[:, None]], axis=-1
+    )
+    g4 = rows[slot]  # ONE gather of [key3|used] per point
+    same_key = jnp.all(g4[:, :3] == coords.astype(jnp.float32), axis=-1)
+    accept, claim_ok = claim_slots(same_key, g4[:, 3] > 0, coords, slot, valid, V)
     # fresh claims start from log-odds 0
     lo = jnp.where(m.used, m.logodds, 0.0)
     lo = lo.at[slot].add(jnp.where(accept, delta, 0.0), mode="drop")
@@ -152,33 +157,53 @@ def prune_farther_than(m: OccupancyMap, center: jax.Array, distance) -> Occupanc
     return m._replace(used=m.used & keep)
 
 
-def _query_k(m: OccupancyMap, queries: jax.Array, k: int, neighbors: int = 27):
-    """k nearest occupied voxel centers per query (ONE fused gather of the
-    packed key rows; candidate positions are the probed voxel centers, so
-    only keys + occupancy flags are gathered)."""
+class OccCandSet(NamedTuple):
+    """Cached occupied-voxel-center candidates (one fused gather)."""
+
+    ctr: jax.Array  # (N, P, 3) probed voxel centers
+    live: jax.Array  # (N, P) occupied + key match
+
+
+def capture(m: OccupancyMap, queries: jax.Array, neighbors: int = 27) -> OccCandSet:
+    """ONE fused gather of [key3|occupied] rows around ``queries``."""
     n = queries.shape[0]
     base = voxel_coords(queries, m.voxel_size)
     cand = neighbor_coords(queries, base, m.voxel_size, neighbors)  # (N,P,3)
     slots = voxel_hash(cand, m.num_slots)  # (N, P)
     occ = m.occupied().astype(jnp.float32)
-    # pack [key3 | occupied] so the probe is one gather
     rows = jnp.concatenate([m.keys.astype(jnp.float32), occ[:, None]], axis=-1)
     g = rows[slots.reshape(-1)].reshape(n, cand.shape[1], 4)
     live = jnp.all(g[..., :3] == cand.astype(jnp.float32), axis=-1) & (g[..., 3] > 0)
     ctr = (cand.astype(jnp.float32) + 0.5) * m.voxel_size  # (N, P, 3)
-    d2 = jnp.where(live, jnp.sum((ctr - queries[:, None, :]) ** 2, axis=-1), jnp.inf)
+    return OccCandSet(ctr, live)
+
+
+def _k_from(cand: OccCandSet, queries: jax.Array, k: int):
+    d2 = jnp.where(
+        cand.live, jnp.sum((cand.ctr - queries[:, None, :]) ** 2, axis=-1), jnp.inf
+    )
     tk, ti = jax.lax.top_k(-d2, k)
-    best_pt = jnp.take_along_axis(ctr, ti[:, :, None], axis=-2)
+    best_pt = jnp.take_along_axis(cand.ctr, ti[:, :, None], axis=-2)
     return best_pt, -tk
+
+
+def p2p_from(cand: OccCandSet, queries, valid):
+    pt, d2 = _k_from(cand, queries, 1)
+    found = valid & jnp.isfinite(d2[:, 0])
+    return pt[:, 0], jnp.where(found, d2[:, 0], jnp.inf), found
+
+
+def p2p2_from(cand: OccCandSet, queries, valid):
+    pt, d2 = _k_from(cand, queries, 2)
+    found = valid[:, None] & jnp.isfinite(d2)
+    return pt, jnp.where(found, d2, jnp.inf), found
 
 
 def query_p2p(
     m: OccupancyMap, queries: jax.Array, valid: jax.Array, *, neighbors: int = 27
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Nearest *occupied* voxel center per query."""
-    pt, d2 = _query_k(m, queries, 1, neighbors)
-    found = valid & jnp.isfinite(d2[:, 0])
-    return pt[:, 0], jnp.where(found, d2[:, 0], jnp.inf), found
+    return p2p_from(capture(m, queries, neighbors), queries, valid)
 
 
 def query_p2p2(
@@ -186,6 +211,4 @@ def query_p2p2(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Two nearest occupied voxel centers (pairingsPerPoint=2,
     lidar2d.yaml matcher)."""
-    pt, d2 = _query_k(m, queries, 2, neighbors)
-    found = valid[:, None] & jnp.isfinite(d2)
-    return pt, jnp.where(found, d2, jnp.inf), found
+    return p2p2_from(capture(m, queries, neighbors), queries, valid)

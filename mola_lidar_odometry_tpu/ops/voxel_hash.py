@@ -116,30 +116,30 @@ class VoxelHashMap(NamedTuple):
 
 
 def claim_slots(
-    keys: jax.Array,  # (V, 3) current slot keys (i32)
-    slot_used: jax.Array,  # (V,) bool — slot currently owned by some voxel
+    same_key: jax.Array,  # (n,) bool — slot's current key equals my coords
+    occupied: jax.Array,  # (n,) bool — slot currently owned by some voxel
     coords: jax.Array,  # (n, 3) voxel coords of the incoming points
     slot: jax.Array,  # (n,) hash slot per point
     valid: jax.Array,  # (n,) bool
+    num_slots: int,
 ) -> Tuple[jax.Array, jax.Array]:
     """Atomics-free parallel slot claim, shared by all hash-map types.
 
-    Empty slots are claimed by the first (lowest-index) valid point hashing to
-    them; if two *different* voxels race for one empty slot, the earlier
-    point's voxel wins and the other voxel's points drop for this frame.
-    Returns ``(accept, claim_ok)``: accept = this point may write to its
-    slot; claim_ok = this point's voxel newly owns the slot (write the key).
+    The caller gathers its packed slot rows ONCE and passes the derived
+    per-point ``same_key``/``occupied`` flags (keeping the total gather
+    count minimal).  Empty slots are claimed by the first (lowest-index)
+    valid point hashing to them; if two *different* voxels race for one
+    empty slot, the earlier point's voxel wins and the other voxel's points
+    drop for this frame.  Returns ``(accept, claim_ok)``: accept = this
+    point may write to its slot; claim_ok = this point's voxel newly owns
+    the slot (write the key).
     """
     n = coords.shape[0]
-    V = keys.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     big = jnp.int32(n)
 
-    occupied = slot_used[slot]
-    same_key = jnp.all(keys[slot] == coords, axis=-1)
-
     wants_claim = valid & ~occupied
-    claim = jnp.full((V,), big, jnp.int32).at[slot].min(
+    claim = jnp.full((num_slots,), big, jnp.int32).at[slot].min(
         jnp.where(wants_claim, idx, big), mode="drop"
     )
     winner_idx = claim[slot]  # (n,) index of the claiming point for my slot
@@ -160,8 +160,10 @@ def insert(m: VoxelHashMap, pc: PointCloud) -> VoxelHashMap:
 
     coords = voxel_coords(pc.xyz, m.voxel_size)  # (n, 3)
     slot = voxel_hash(coords, V)  # (n,)
-    cnt = m.count
-    accept, claim_ok = claim_slots(m.keys, cnt > 0, coords, slot, pc.valid)
+    g4 = m.data[slot, :4]  # ONE gather of [key3|count] per point
+    same_key = jnp.all(g4[:, :3] == coords.astype(jnp.float32), axis=-1)
+    cnt_at = g4[:, 3]
+    accept, claim_ok = claim_slots(same_key, cnt_at > 0, coords, slot, pc.valid, V)
 
     # Phase 2: per-slot arrival rank via one sort over the batch.  Sort key
     # packs (slot, idx) so ranks follow input order within a slot.
@@ -177,7 +179,7 @@ def insert(m: VoxelHashMap, pc: PointCloud) -> VoxelHashMap:
     rank_sorted = pos - head_pos
     rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
 
-    dest = cnt[slot] + rank
+    dest = cnt_at.astype(jnp.int32) + rank
     store = accept & (dest < K)
 
     flat = m.data.reshape(-1)
@@ -210,12 +212,23 @@ def prune_farther_than(m: VoxelHashMap, center: jax.Array, distance) -> VoxelHas
     return m._replace(data=m.data.at[:, 3].mul(keep.astype(jnp.float32)))
 
 
-def _gather_candidates(m: VoxelHashMap, queries: jax.Array, neighbors: int):
-    """One fused gather of the packed neighborhood rows.
+class CandSet(NamedTuple):
+    """Cached neighborhood candidates of a query batch (one fused gather).
 
-    Returns ``(pts (N,P,K,3), cmask (N,P,K))`` — candidate points and their
-    validity (slot live, key matches, within per-slot count).
+    Captured once per align() at the entry pose and reused across ICP
+    iterations: the candidate *set* is fixed (chosen by the entry voxel
+    coords + probe margin) while distances are recomputed at the current
+    pose each iteration.  Exact as long as the in-align pose correction
+    stays below the probe margin (a full voxel for 27 probes) — which the
+    twist-reoptimization hook bounds at ~0.15 m anyway.
     """
+
+    pts: jax.Array  # (N, P, K, 3) candidate map points
+    mask: jax.Array  # (N, P, K) candidate validity
+
+
+def capture(m: VoxelHashMap, queries: jax.Array, neighbors: int = 27) -> CandSet:
+    """ONE fused gather of the packed neighborhood rows around ``queries``."""
     V, K = m.num_slots, m.points_per_voxel
     n = queries.shape[0]
     base = voxel_coords(queries, m.voxel_size)
@@ -230,65 +243,49 @@ def _gather_candidates(m: VoxelHashMap, queries: jax.Array, neighbors: int):
     pts = g[..., 4:].reshape(n, P, K, 3)
     jslots = jnp.arange(K, dtype=jnp.float32)
     cmask = live[..., None] & (jslots < cnt[..., None])
-    return pts, cmask
+    return CandSet(pts, cmask)
 
 
-def query_nn(
-    m: VoxelHashMap, queries: jax.Array, valid: jax.Array, *, neighbors: int = 27
+def nn_from(
+    cand: CandSet, queries: jax.Array, valid: jax.Array
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Nearest map point of each query within its voxel neighborhood.
-
-    Returns ``(nn_xyz (N,3), dist2 (N,), found (N,))``.  ``found`` is False
-    for invalid queries and queries with no candidate in the neighborhood;
-    the caller applies the (dynamic, annealed) distance threshold on top,
-    mirroring Matcher_Points_DistanceThreshold's ``threshold`` parameter.
-    """
+    """Nearest candidate per query — pure compute, no memory traffic."""
     n = queries.shape[0]
-    pts, cmask = _gather_candidates(m, queries, neighbors)
-    P, K = pts.shape[1], pts.shape[2]
-    d2 = jnp.sum((pts - queries[:, None, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(cmask, d2, jnp.inf).reshape(n, P * K)
+    P, K = cand.pts.shape[1], cand.pts.shape[2]
+    d2 = jnp.sum((cand.pts - queries[:, None, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(cand.mask, d2, jnp.inf).reshape(n, P * K)
     j = jnp.argmin(d2, axis=-1)
     dmin = jnp.take_along_axis(d2, j[:, None], axis=-1)[:, 0]
-    pmin = jnp.take_along_axis(pts.reshape(n, P * K, 3), j[:, None, None], axis=-2)[:, 0]
+    pmin = jnp.take_along_axis(cand.pts.reshape(n, P * K, 3), j[:, None, None], axis=-2)[:, 0]
     found = valid & jnp.isfinite(dmin)
     return pmin, jnp.where(found, dmin, jnp.inf), found
 
 
-def query_nn2(
-    m: VoxelHashMap, queries: jax.Array, valid: jax.Array, *, neighbors: int = 27
+def nn2_from(
+    cand: CandSet, queries: jax.Array, valid: jax.Array
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Two nearest map points per query (``pairingsPerPoint: 2``).
-
-    Mirrors Matcher_Points_DistanceThreshold with 2 pairings per local point
-    (reference pipelines/lidar2d.yaml:152-159).  Returns
-    ``(nn_xyz (N,2,3), dist2 (N,2), found (N,2))``; slot 1 may be un-found
-    when the neighborhood holds a single candidate.
-    """
+    """Two nearest candidates per query (``pairingsPerPoint: 2``)."""
     n = queries.shape[0]
-    pts, cmask = _gather_candidates(m, queries, neighbors)
-    P, K = pts.shape[1], pts.shape[2]
-    d2 = jnp.sum((pts - queries[:, None, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(cmask, d2, jnp.inf).reshape(n, P * K)
+    P, K = cand.pts.shape[1], cand.pts.shape[2]
+    d2 = jnp.sum((cand.pts - queries[:, None, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(cand.mask, d2, jnp.inf).reshape(n, P * K)
     top2, ti = jax.lax.top_k(-d2, 2)
-    best_pt = jnp.take_along_axis(pts.reshape(n, P * K, 3), ti[:, :, None], axis=-2)
+    best_pt = jnp.take_along_axis(cand.pts.reshape(n, P * K, 3), ti[:, :, None], axis=-2)
     best_d2 = -top2
     found = valid[:, None] & jnp.isfinite(best_d2)
     return best_pt, jnp.where(found, best_d2, jnp.inf), found
 
 
-def query_p2pl(
-    m: VoxelHashMap,
+def p2pl_from(
+    cand: CandSet,
     queries: jax.Array,
     valid: jax.Array,
     *,
     search_radius: float = 0.8,
     min_plane_points: int = 6,
     plane_eigen_threshold: float = 1e-2,
-    neighbors: int = 27,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Point-to-plane query against a *point* map: fit a local plane per
-    query from the neighborhood points.
+    """Point-to-plane against cached candidates: fit a local plane per query.
 
     Mirrors ``Matcher_Point2Plane`` against point clouds (reference
     pipelines/rgbd.yaml:143-151: ``searchRadius``, ``knn``,
@@ -296,14 +293,10 @@ def query_p2pl(
     plane to the k nearest neighbors; here the fit uses *all* candidate
     points of the voxel neighborhood within ``search_radius`` — same
     estimator, slightly larger support, fixed shape.
-
-    Returns ``(plane_pt, normal, dist2, found)`` with ``dist2`` the squared
-    point-plane distance.
     """
     from mola_lidar_odometry_tpu.ops import ndt as _ndt  # local: avoid cycle
 
-    n = queries.shape[0]
-    pts, cmask = _gather_candidates(m, queries, neighbors)
+    pts, cmask = cand.pts, cand.mask
     d2 = jnp.sum((pts - queries[:, None, None, :]) ** 2, axis=-1)
     w = (cmask & (d2 <= search_radius * search_radius)).astype(jnp.float32)
 
@@ -329,6 +322,46 @@ def query_p2pl(
     plane_pt = queries - dpl[:, None] * nrm
     d2q = jnp.where(found, dpl * dpl, jnp.inf)
     return plane_pt, nrm, d2q, found
+
+
+def query_nn(
+    m: VoxelHashMap, queries: jax.Array, valid: jax.Array, *, neighbors: int = 27
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Single-shot NN query (capture + reduce).
+
+    Returns ``(nn_xyz (N,3), dist2 (N,), found (N,))``; the caller applies
+    the (dynamic, annealed) distance threshold on top, mirroring
+    Matcher_Points_DistanceThreshold's ``threshold`` parameter.
+    """
+    return nn_from(capture(m, queries, neighbors), queries, valid)
+
+
+def query_nn2(
+    m: VoxelHashMap, queries: jax.Array, valid: jax.Array, *, neighbors: int = 27
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Single-shot 2-NN query (reference pipelines/lidar2d.yaml:152-159)."""
+    return nn2_from(capture(m, queries, neighbors), queries, valid)
+
+
+def query_p2pl(
+    m: VoxelHashMap,
+    queries: jax.Array,
+    valid: jax.Array,
+    *,
+    search_radius: float = 0.8,
+    min_plane_points: int = 6,
+    plane_eigen_threshold: float = 1e-2,
+    neighbors: int = 27,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Single-shot point-to-plane query against a point map."""
+    return p2pl_from(
+        capture(m, queries, neighbors),
+        queries,
+        valid,
+        search_radius=search_radius,
+        min_plane_points=min_plane_points,
+        plane_eigen_threshold=plane_eigen_threshold,
+    )
 
 
 def as_pointcloud(m: VoxelHashMap, capacity: int) -> PointCloud:

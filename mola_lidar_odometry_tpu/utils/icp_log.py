@@ -89,7 +89,8 @@ def replay_align_with_trace(maps, layers, init_pose, prior, cfg, env, n_iters: i
         env_it = dict(env)
         env_it["ICP_ITERATION"] = it.astype(jnp.float32)
         kernel_c = cfg.kernel_param(env_it)
-        blocks, paired, _ = icp_ops._matcher_blocks(cfg, maps, layers, pose, env_it, it)
+        candsets = icp_ops._capture_all(cfg, maps, layers, pose)
+        blocks, paired, _ = icp_ops._matcher_blocks(cfg, candsets, layers, pose, env_it, it)
         pose, _ = solve_gauss_newton_blocks(
             pose, blocks, kernel_c, prior, cfg.gn_inner_iterations
         )
