@@ -77,3 +77,64 @@ def test_multisession_resume(tmp_path):
     )
     lo.load_local_map(out_mm)
     assert int(lo.carry.maps["localmap"].num_points()) > 0
+
+
+def test_localization_only_mode(tmp_path):
+    """Mapping disabled + preloaded map = localization-only session
+    (reference MOLA_MAPPING_ENABLED / load_existing_local_map)."""
+    import jax.numpy as jnp
+
+    from mola_lidar_odometry_tpu.models.odometry import LidarOdometry
+    from mola_lidar_odometry_tpu.utils import sim
+
+    overrides = dict(
+        raw_capacity=16384, map_slots=32768,
+        layer_capacities={"raw": 16384, "decimated_for_map_raw": 8192,
+                          "decimated_for_icp_skewed": 4096, "decimated_for_icp": 4096,
+                          "decimated_for_map": 8192},
+    )
+    traj, scans = sim.simulate_sequence(6, n_rings=16, n_azimuth=512)
+
+    # session 1: build and save a map
+    lo1 = LidarOdometry.from_yaml_file(PIPELINE, **overrides)
+    for k, (xyz, times, rings, valid) in enumerate(scans[:4]):
+        lo1.on_lidar_scan(xyz[valid], traj.stamps[k], times=times[valid])
+    mm = str(tmp_path / "session.mm.npz")
+    lo1.save_local_map(mm)
+
+    # session 2: mapping off, localize against the loaded map
+    import os
+    os.environ["MOLA_MAPPING_ENABLED"] = "false"
+    try:
+        lo2 = LidarOdometry.from_yaml_file(PIPELINE, **overrides)
+    finally:
+        del os.environ["MOLA_MAPPING_ENABLED"]
+    assert not lo2.spec.local_map_updates.enabled
+    lo2.load_local_map(mm)
+    n_before = int(lo2.carry.maps["localmap"].num_points())
+    outs = []
+    for k, (xyz, times, rings, valid) in enumerate(scans[4:6]):
+        outs.append(lo2.on_lidar_scan(xyz[valid], traj.stamps[4 + k], times=times[valid]))
+    # map unchanged (no inserts), poses still produced and accepted
+    assert int(lo2.carry.maps["localmap"].num_points()) == n_before
+    assert all(bool(o.accepted) for o in outs)
+
+
+def test_icplog_viewer(tmp_path):
+    import numpy as np
+
+    from mola_lidar_odometry_tpu.apps.icplog_viewer import main as viewer_main
+    from mola_lidar_odometry_tpu.utils.icp_log import IcpLogWriter
+
+    w = IcpLogWriter(directory=str(tmp_path), decimation=1)
+    assert w.want_frame()
+    p = w.log(
+        frame_idx=0, stamp=1.5,
+        poses_R=np.broadcast_to(np.eye(3), (5, 3, 3)),
+        poses_t=np.cumsum(np.full((5, 3), 0.1), axis=0),
+        paired=np.asarray([100, 120, 130, 131, 131]),
+        quality=0.9, iterations=5,
+    )
+    out = str(tmp_path / "view.png")
+    rc = viewer_main([str(p), "-o", out])
+    assert rc == 0 and (tmp_path / "view.png").exists()
