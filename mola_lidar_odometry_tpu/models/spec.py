@@ -146,6 +146,18 @@ class OdometrySpec:
     start_active: bool = True
 
 
+def _pallas_default() -> bool:
+    """MOLA_TPU_PALLAS: 1/0 force, unset = on for TPU backends (the fused
+    NN kernel is ~20% end-to-end on v5e; interpret mode on CPU is too slow
+    for production but fine for the dedicated kernel tests)."""
+    v = os.environ.get("MOLA_TPU_PALLAS")
+    if v is not None:
+        return v == "1"
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def _icp_from_yaml(block: dict, spec_hook: Tuple[float, float]) -> Tuple[IcpConfig, str]:
     """Parse an ``icp_settings_*`` YAML block (matchers, solvers, params).
 
@@ -223,6 +235,7 @@ def _icp_from_yaml(block: dict, spec_hook: Tuple[float, float]) -> Tuple[IcpConf
         horn=horn,
         nn_neighbors=int(os.environ.get("MOLA_TPU_NN_NEIGHBORS", 27)),
         anderson_m=int(os.environ.get("MOLA_TPU_ICP_ANDERSON", 0)),
+        use_pallas=_pallas_default(),
         hook_min_trans=hook_trans,
         hook_min_rot=hook_rot,
     )

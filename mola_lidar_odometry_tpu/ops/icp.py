@@ -92,6 +92,10 @@ class IcpConfig:
     # exact within one voxel); 8 = nearest 2x2x2 block (exact within half a
     # voxel, ~3x cheaper gathers; fine once tracking has converged)
     nn_neighbors: int = 27
+    # Pallas fused NN-select kernel for cached point-map candidates
+    # (ops/pallas_match.py); MOLA_TPU_PALLAS=1.  Only affects
+    # single-pairing point-to-point matchers with capture-once enabled.
+    use_pallas: bool = False
     # Anderson acceleration depth over the fixed-point pose iteration
     # (AA-ICP, Pavlov et al., arXiv:1709.05479 — PAPERS.md): 0 = off
     # (reference-parity), m>=2 extrapolates from the last m (pose, update)
@@ -200,12 +204,31 @@ def align(
     # compute).  Without the hook (and with a Horn coarse stage) corrections
     # can exceed a voxel, so candidates are re-captured every iteration.
     cache_ok = hook_on and cfg.horn is None
-    candsets0 = _capture_all(cfg, maps, layers, init_pose)
+
+    def _maybe_planar(sets):
+        if not cfg.use_pallas:
+            return sets
+        from mola_lidar_odometry_tpu.ops import pallas_match
+        from mola_lidar_odometry_tpu.ops.voxel_hash import CandSet as _VCS
+
+        out = []
+        for mc, cs in zip(cfg.matchers, sets):
+            if (
+                isinstance(cs, _VCS)
+                and mc.kind == "point2point"
+                and mc.pairings_per_point == 1
+            ):
+                out.append(pallas_match.to_planar(cs))
+            else:
+                out.append(cs)
+        return tuple(out)
+
+    candsets0 = _maybe_planar(_capture_all(cfg, maps, layers, init_pose))
 
     def get_candsets(pose, it):
         if cache_ok:
             return candsets0
-        return _capture_all(cfg, maps, layers, pose)
+        return _maybe_planar(_capture_all(cfg, maps, layers, pose))
 
     def solver_update(pose, it, horn_active, env_it):
         """One matcher + solver pass: the fixed-point map G(pose)."""

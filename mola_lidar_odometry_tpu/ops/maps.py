@@ -172,6 +172,12 @@ def match_p2p(candset, queries, valid):
         return ndt.p2p_from(candset, queries, valid)
     if isinstance(candset, occupancy.OccCandSet):
         return occupancy.p2p_from(candset, queries, valid)
+    from mola_lidar_odometry_tpu.ops import pallas_match
+
+    if isinstance(candset, pallas_match.PlanarCands):
+        tgt, d2 = pallas_match.nn_select(candset, queries)
+        found = valid & (d2 < 1e37)
+        return tgt, jnp.where(found, d2, jnp.inf), found
     raise TypeError(type(candset))
 
 

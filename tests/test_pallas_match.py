@@ -1,0 +1,55 @@
+"""Numeric equivalence of the Pallas fused NN-select kernel vs the XLA path.
+
+Runs in Pallas interpreter mode on CPU (tiny shapes; the interpreter is
+orders of magnitude slower than compiled TPU execution)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mola_lidar_odometry_tpu.ops import pallas_match as pm, voxel_hash as vh
+from mola_lidar_odometry_tpu.ops.pointcloud import PointCloud
+
+
+def test_nn_select_matches_brute_force():
+    rng = np.random.default_rng(0)
+    n, c = 16, 128
+    planar = pm.PlanarCands(
+        x=jnp.asarray(rng.normal(size=(n, c)).astype(np.float32)),
+        y=jnp.asarray(rng.normal(size=(n, c)).astype(np.float32)),
+        z=jnp.asarray(rng.normal(size=(n, c)).astype(np.float32)),
+        mask=jnp.asarray((rng.random((n, c)) > 0.3).astype(np.float32)),
+    )
+    q = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    tgt, d2 = pm.nn_select(planar, q, interpret=True)
+
+    X = np.stack([np.asarray(planar.x), np.asarray(planar.y), np.asarray(planar.z)], -1)
+    dd = ((X - np.asarray(q)[:, None, :]) ** 2).sum(-1)
+    dd = np.where(np.asarray(planar.mask) > 0, dd, np.inf)
+    ref_d2 = dd.min(1)
+    has = np.isfinite(ref_d2)
+    np.testing.assert_allclose(np.asarray(d2)[has], ref_d2[has], rtol=1e-5)
+    j = dd.argmin(1)
+    np.testing.assert_allclose(
+        np.asarray(tgt)[has], X[np.arange(n), j][has], rtol=1e-5
+    )
+    # no-candidate rows report a huge distance (not a pairing)
+    assert np.all(np.asarray(d2)[~has] > 1e37)
+
+
+def test_nn_select_matches_xla_path():
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(-8, 8, (600, 3)).astype(np.float32)
+    m = vh.insert(vh.VoxelHashMap.create(1 << 10, 4, 1.0), PointCloud.from_xyz(jnp.asarray(pts)))
+    q = jnp.asarray(rng.uniform(-8, 8, (32, 3)).astype(np.float32))
+    valid = jnp.ones(32, bool)
+
+    cand = vh.capture(m, q, 8)  # small probe keeps the interpreter fast
+    tgt_x, d2_x, found_x = vh.nn_from(cand, q, valid)
+
+    tgt_p, d2_p = pm.nn_select(pm.to_planar(cand), q, interpret=True)
+    found_p = np.asarray(valid & (d2_p < 1e37))
+
+    fx = np.asarray(found_x)
+    assert (fx == found_p).all()
+    np.testing.assert_allclose(np.asarray(d2_x)[fx], np.asarray(d2_p)[fx], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(tgt_x)[fx], np.asarray(tgt_p)[fx], rtol=1e-5)
