@@ -236,6 +236,7 @@ def _icp_from_yaml(block: dict, spec_hook: Tuple[float, float]) -> Tuple[IcpConf
         nn_neighbors=int(os.environ.get("MOLA_TPU_NN_NEIGHBORS", 27)),
         anderson_m=int(os.environ.get("MOLA_TPU_ICP_ANDERSON", 0)),
         use_pallas=_pallas_default(),
+        per_voxel_nn=os.environ.get("MOLA_TPU_PER_VOXEL_NN", "0") == "1",
         hook_min_trans=hook_trans,
         hook_min_rot=hook_rot,
     )

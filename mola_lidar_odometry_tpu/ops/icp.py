@@ -92,6 +92,10 @@ class IcpConfig:
     # exact within one voxel); 8 = nearest 2x2x2 block (exact within half a
     # voxel, ~3x cheaper gathers; fine once tracking has converged)
     nn_neighbors: int = 27
+    # Reduce each probed voxel's K points to the capture-pose nearest,
+    # leaving P candidates/query (closest-point-per-voxel; see
+    # voxel_hash.capture).  Cuts per-iteration streaming volume K-fold.
+    per_voxel_nn: bool = False
     # Pallas fused NN-select kernel for cached point-map candidates
     # (ops/pallas_match.py); MOLA_TPU_PALLAS=1.  Only affects
     # single-pairing point-to-point matchers with capture-once enabled.
@@ -127,7 +131,12 @@ def _capture_all(
     for mc in cfg.matchers:
         xyz, _ = layers[mc.local_layer]
         q = se3.transform(pose, xyz)
-        sets.append(maps_ops.capture(maps[mc.global_layer], q, cfg.nn_neighbors))
+        # per-voxel reduction only applies to single-pairing point matchers
+        # (2-NN needs at least two candidates per voxel to stay exact)
+        pvnn = cfg.per_voxel_nn and mc.kind == "point2point" and mc.pairings_per_point == 1
+        sets.append(
+            maps_ops.capture(maps[mc.global_layer], q, cfg.nn_neighbors, pvnn)
+        )
     return tuple(sets)
 
 

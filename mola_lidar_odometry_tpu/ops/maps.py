@@ -153,10 +153,10 @@ def set_voxel_size(state, voxel_size):
     return state._replace(voxel_size=jnp.asarray(voxel_size, jnp.float32))
 
 
-def capture(state, queries, neighbors: int = 27):
+def capture(state, queries, neighbors: int = 27, per_voxel_nn: bool = False):
     """Gather the neighborhood candidate set once (see CandSet docstrings)."""
     if isinstance(state, voxel_hash.VoxelHashMap):
-        return voxel_hash.capture(state, queries, neighbors)
+        return voxel_hash.capture(state, queries, neighbors, per_voxel_nn)
     if isinstance(state, ndt.NdtMap):
         return ndt.capture(state, queries, neighbors)
     if isinstance(state, occupancy.OccupancyMap):

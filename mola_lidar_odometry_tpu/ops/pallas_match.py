@@ -45,10 +45,9 @@ class PlanarCands(NamedTuple):
 
 
 def to_planar(cand) -> PlanarCands:
-    """AoS CandSet (ops/voxel_hash, pts (N,P,K,3) / mask (N,P,K)) -> padded
+    """AoS CandSet (ops/voxel_hash, pts (N,C,3) / mask (N,C)) -> padded
     planar planes.  One transpose per align(), amortized over iterations."""
-    n = cand.mask.shape[0]
-    c = cand.mask.shape[1] * cand.mask.shape[2]
+    n, c = cand.mask.shape
     cpad = _round_up(c, LANES)
     pad = [(0, 0), (0, cpad - c)]
 

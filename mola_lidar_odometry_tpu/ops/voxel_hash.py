@@ -221,14 +221,35 @@ class CandSet(NamedTuple):
     pose each iteration.  Exact as long as the in-align pose correction
     stays below the probe margin (a full voxel for 27 probes) — which the
     twist-reoptimization hook bounds at ~0.15 m anyway.
+
+    With ``cand_cap`` the set is further compacted to the cap nearest
+    candidates at the capture pose: any candidate that could become the
+    nearest neighbor later (pose delta d) must lie within
+    d2_min + O(pose delta) of the capture-time minimum, so dropping all-but-
+    the-nearest-C is a safe superset for realistic caps; it cuts the
+    per-iteration streaming volume by C/(P*K).
     """
 
-    pts: jax.Array  # (N, P, K, 3) candidate map points
-    mask: jax.Array  # (N, P, K) candidate validity
+    pts: jax.Array  # (N, C, 3) candidate map points
+    mask: jax.Array  # (N, C) candidate validity
 
 
-def capture(m: VoxelHashMap, queries: jax.Array, neighbors: int = 27) -> CandSet:
-    """ONE fused gather of the packed neighborhood rows around ``queries``."""
+def capture(
+    m: VoxelHashMap,
+    queries: jax.Array,
+    neighbors: int = 27,
+    per_voxel_nn: bool = False,
+) -> CandSet:
+    """ONE fused gather of the packed neighborhood rows around ``queries``.
+
+    With ``per_voxel_nn`` the K points of each probed voxel reduce to the
+    single point nearest the query at capture time (argmin over K, no
+    sorting), leaving P candidates per query — a KISS-ICP-style
+    closest-point-per-voxel view that cuts the per-iteration streaming
+    volume K-fold.  Under the capture-once regime the selected point is at
+    most 2x(in-align pose delta) worse than the exact in-voxel nearest —
+    negligible under the robust kernel with the ~0.15 m hook bound.
+    """
     V, K = m.num_slots, m.points_per_voxel
     n = queries.shape[0]
     base = voxel_coords(queries, m.voxel_size)
@@ -240,23 +261,29 @@ def capture(m: VoxelHashMap, queries: jax.Array, neighbors: int = 27) -> CandSet
     key_ok = jnp.all(g[..., :3] == cand.astype(jnp.float32), axis=-1)
     cnt = g[..., 3]
     live = key_ok & (cnt > 0)
-    pts = g[..., 4:].reshape(n, P, K, 3)
+    pts4 = g[..., 4:].reshape(n, P, K, 3)
     jslots = jnp.arange(K, dtype=jnp.float32)
-    cmask = live[..., None] & (jslots < cnt[..., None])
-    return CandSet(pts, cmask)
+    cmask4 = live[..., None] & (jslots < cnt[..., None])  # (n, P, K)
+
+    if per_voxel_nn and K > 1:
+        d2 = jnp.sum((pts4 - queries[:, None, None, :]) ** 2, axis=-1)
+        d2 = jnp.where(cmask4, d2, jnp.inf)
+        j = jnp.argmin(d2, axis=-1)  # (n, P)
+        pts = jnp.take_along_axis(pts4, j[..., None, None], axis=2)[:, :, 0]
+        cmask = jnp.take_along_axis(cmask4, j[..., None], axis=2)[:, :, 0]
+        return CandSet(pts, cmask)
+    return CandSet(pts4.reshape(n, P * K, 3), cmask4.reshape(n, P * K))
 
 
 def nn_from(
     cand: CandSet, queries: jax.Array, valid: jax.Array
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Nearest candidate per query — pure compute, no memory traffic."""
-    n = queries.shape[0]
-    P, K = cand.pts.shape[1], cand.pts.shape[2]
-    d2 = jnp.sum((cand.pts - queries[:, None, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(cand.mask, d2, jnp.inf).reshape(n, P * K)
+    d2 = jnp.sum((cand.pts - queries[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(cand.mask, d2, jnp.inf)
     j = jnp.argmin(d2, axis=-1)
     dmin = jnp.take_along_axis(d2, j[:, None], axis=-1)[:, 0]
-    pmin = jnp.take_along_axis(cand.pts.reshape(n, P * K, 3), j[:, None, None], axis=-2)[:, 0]
+    pmin = jnp.take_along_axis(cand.pts, j[:, None, None], axis=-2)[:, 0]
     found = valid & jnp.isfinite(dmin)
     return pmin, jnp.where(found, dmin, jnp.inf), found
 
@@ -265,12 +292,10 @@ def nn2_from(
     cand: CandSet, queries: jax.Array, valid: jax.Array
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Two nearest candidates per query (``pairingsPerPoint: 2``)."""
-    n = queries.shape[0]
-    P, K = cand.pts.shape[1], cand.pts.shape[2]
-    d2 = jnp.sum((cand.pts - queries[:, None, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(cand.mask, d2, jnp.inf).reshape(n, P * K)
+    d2 = jnp.sum((cand.pts - queries[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(cand.mask, d2, jnp.inf)
     top2, ti = jax.lax.top_k(-d2, 2)
-    best_pt = jnp.take_along_axis(cand.pts.reshape(n, P * K, 3), ti[:, :, None], axis=-2)
+    best_pt = jnp.take_along_axis(cand.pts, ti[:, :, None], axis=-2)
     best_d2 = -top2
     found = valid[:, None] & jnp.isfinite(best_d2)
     return best_pt, jnp.where(found, best_d2, jnp.inf), found
@@ -297,14 +322,14 @@ def p2pl_from(
     from mola_lidar_odometry_tpu.ops import ndt as _ndt  # local: avoid cycle
 
     pts, cmask = cand.pts, cand.mask
-    d2 = jnp.sum((pts - queries[:, None, None, :]) ** 2, axis=-1)
+    d2 = jnp.sum((pts - queries[:, None, :]) ** 2, axis=-1)
     w = (cmask & (d2 <= search_radius * search_radius)).astype(jnp.float32)
 
-    cnt = jnp.sum(w, axis=(1, 2))  # (N,)
-    s = jnp.einsum("npk,npkc->nc", w, pts)
+    cnt = jnp.sum(w, axis=1)  # (N,)
+    s = jnp.einsum("nc,ncd->nd", w, pts)
     x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
     mom = jnp.stack([x * x, y * y, z * z, x * y, x * z, y * z], -1)
-    ss = jnp.einsum("npk,npkc->nc", w, mom)
+    ss = jnp.einsum("nc,ncd->nd", w, mom)
 
     nf = jnp.maximum(cnt, 1.0)[:, None]
     mean = s / nf
