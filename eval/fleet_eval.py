@@ -41,6 +41,11 @@ def main() -> int:
     args = ap.parse_args()
 
     import jax
+
+    here = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(here, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     import jax.numpy as jnp
 
     from mola_lidar_odometry_tpu.models.spec import spec_from_yaml

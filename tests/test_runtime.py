@@ -196,3 +196,13 @@ def test_icp_debug_logs(tmp_path, monkeypatch, tiny_lo):
     assert len(logs) == 2
     d = np.load(logs[1])
     assert d["poses_t"].shape[1] == 3 and d["paired"].shape[0] == 30
+
+
+def test_ros2_bridge_gated():
+    """BridgeROS2 raises a clear error without the ROS 2 stack."""
+    import pytest as _pytest
+
+    from mola_lidar_odometry_tpu.apps.ros2_bridge import BridgeROS2
+
+    with _pytest.raises(ImportError, match="rclpy"):
+        BridgeROS2(runtime=None, config={})
