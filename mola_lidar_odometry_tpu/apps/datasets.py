@@ -248,6 +248,23 @@ class Kitti360Dataset(OfflineDataset):
             intensity=raw[:, 3],
         )
 
+    def ground_truth(self) -> Optional[GroundTruth]:
+        """KITTI-360 GT: data_poses/<drive>/poses.txt — 'frame r00..r23'
+        rows (IMU/GNSS frame), sparse over frames."""
+        gt_file = self.dir.parents[2] / "data_poses" / self.dir.parent.name / "poses.txt"
+        if not gt_file.exists():
+            return None
+        rows = np.loadtxt(gt_file, ndmin=2)
+        frames = rows[:, 0].astype(int)
+        ok = frames < len(self.stamps)
+        frames, rows = frames[ok], rows[ok]
+        ts, qs = [], []
+        for r in rows:
+            T = r[1:13].reshape(3, 4)
+            ts.append(T[:, 3])
+            qs.append(_rot_to_quat_xyzw(T[:, :3]))
+        return GroundTruth(self.stamps[frames], np.asarray(ts), np.asarray(qs))
+
 
 class MulranDataset(OfflineDataset):
     """MulRan dataset reader (Ouster OS1-64 bins, ns-stamped filenames)."""

@@ -103,3 +103,30 @@ def test_trajectory_tum_roundtrip(tmp_path, odometry_run):
     stamps, t, q = load_tum(p)
     assert len(stamps) == len(lo.trajectory)
     np.testing.assert_allclose(t[0], lo.trajectory[0]["t"], atol=1e-5)
+
+
+def test_long_horizon_drift():
+    """Sustained tracking over 30 frames: drift rate stays bounded.
+
+    The short golden test catches gross regressions; this one catches slow
+    per-frame bias (e.g. systematic under-estimation of motion) that only
+    shows over distance."""
+    lo = LidarOdometry.from_yaml_file(PIPELINE, **TEST_OVERRIDES)
+    traj, scans = sim.simulate_sequence(30, n_rings=24, n_azimuth=768, speed=6.0)
+    G0 = se3.Pose(jnp.asarray(traj.R[0], jnp.float32), jnp.asarray(traj.t[0], jnp.float32))
+    path_len = 0.0
+    last_gt = None
+    final_err = None
+    for k, (xyz, times, rings, valid) in enumerate(scans):
+        out = lo.on_lidar_scan(xyz[valid], traj.stamps[k], times=times[valid], ring=rings[valid])
+        if last_gt is not None:
+            path_len += float(np.linalg.norm(traj.t[k] - last_gt))
+        last_gt = traj.t[k]
+        Gk = se3.Pose(jnp.asarray(traj.R[k], jnp.float32), jnp.asarray(traj.t[k], jnp.float32))
+        rel = se3.relative(se3.relative(G0, Gk), se3.Pose(out.pose_R, out.pose_t))
+        final_err = float(jnp.linalg.norm(jnp.asarray(rel.t)))
+    assert path_len > 8.0  # the trajectory actually moved
+    drift_pct = 100.0 * final_err / path_len
+    # KITTI-class LO achieves ~0.5-1%; the synthetic world is harder (sparse
+    # rings, repetitive boxes) — gate at 5% to catch real regressions
+    assert drift_pct < 5.0, f"drift {drift_pct:.2f}% over {path_len:.1f} m"
