@@ -36,7 +36,10 @@ import jax.numpy as jnp
 
 @dataclass
 class SimpleMapKeyframe:
-    """A simple-map entry: pose + (optionally) the raw observation."""
+    """A simple-map entry: pose + (optionally) the raw observation.
+
+    ``metadata`` mirrors the reference's per-KF YAML metadata observation
+    (frame bounding box etc., LidarOdometry.cpp:1244-1268)."""
 
     stamp: float
     t: np.ndarray  # (3,)
@@ -45,6 +48,7 @@ class SimpleMapKeyframe:
     scan_xyz: Optional[np.ndarray] = None  # None for non-KF pose-only entries
     scan_path: Optional[str] = None  # set when externalized (lazy-load)
     gnss: Optional[dict] = None
+    metadata: Optional[dict] = None
 
 
 class LidarOdometry:
@@ -92,6 +96,13 @@ class LidarOdometry:
         self._gnss_buffer: List[dict] = []  # last N GNSS observations
         self._imu_buffer: List[dict] = []
         self._last_odom = None  # previous wheel-odometry (R, t)
+        # publisher callbacks (the mola_kernel advertise* interfaces,
+        # reference LidarOdometry.cpp:2079-2149): localization every scan,
+        # map every publish_map_updates_every_n keyframes
+        self._localization_subscribers: List = []
+        self._map_subscribers: List = []
+        self.publish_map_updates_every_n = 10
+        self._kf_counter = 0
         self.frames_processed = 0
         self.frames_dropped = 0
 
@@ -294,15 +305,38 @@ class LidarOdometry:
             self.trajectory.append(entry)
 
             if bool(out.sm_insert):
+                keep_scan = scan_xyz if bool(out.kf_simplemap) else None
+                meta = None
+                if keep_scan is not None and len(keep_scan):
+                    meta = {  # frame bbox metadata (reference :1244-1268)
+                        "bbox_min": keep_scan.min(axis=0).tolist(),
+                        "bbox_max": keep_scan.max(axis=0).tolist(),
+                        "n_points": int(len(keep_scan)),
+                    }
                 kf = SimpleMapKeyframe(
                     stamp=float(out.stamp),
                     t=entry["t"],
                     quat_xyzw=entry["quat_xyzw"],
                     twist=np.asarray(out.twist, np.float64),
-                    scan_xyz=scan_xyz if bool(out.kf_simplemap) else None,
+                    scan_xyz=keep_scan,
                     gnss=self._closest_gnss(float(out.stamp)),
+                    metadata=meta,
                 )
                 self.simplemap.append(kf)
+
+            # doPublishUpdatedLocalization (reference :2079-2100)
+            for cb in self._localization_subscribers:
+                cb(entry)
+            # doPublishUpdatedMap every N keyframes (reference :2102-2149)
+            if bool(out.kf_local):
+                self._kf_counter += 1
+                if (
+                    self._map_subscribers
+                    and self._kf_counter % self.publish_map_updates_every_n == 0
+                ):
+                    pts = self.local_map_pointcloud()
+                    for cb in self._map_subscribers:
+                        cb(pts)
 
         if self.spec.debug_traces_save:
             # full dynamic-variable dump per frame, like the reference's
@@ -386,6 +420,16 @@ class LidarOdometry:
             f.write(",".join(keys) + "\n")
             for row in self.traces:
                 f.write(",".join(str(row[k]) for k in keys) + "\n")
+
+    # -- publisher subscriptions (mola_kernel advertise* interfaces) --------
+    def subscribe_localization_updates(self, cb) -> None:
+        """``cb(entry)`` per accepted pose (advertiseUpdatedLocalization)."""
+        self._localization_subscribers.append(cb)
+
+    def subscribe_map_updates(self, cb) -> None:
+        """``cb(points)`` every ``publish_map_updates_every_n`` keyframes
+        (advertiseUpdatedMap; anyUpdateMapSubscriber gating included)."""
+        self._map_subscribers.append(cb)
 
     def is_busy(self) -> bool:
         return False  # synchronous host API; the async runtime lives in utils/runtime.py

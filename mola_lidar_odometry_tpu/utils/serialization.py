@@ -91,6 +91,7 @@ def save_simplemap(path: Union[str, Path], keyframes: List, lazy_load: bool = Fa
             "twist": kf.twist.tolist(),
             "has_scan": kf.scan_xyz is not None,
             "gnss": kf.gnss or {},
+            "metadata": kf.metadata or {},
         }
         if kf.scan_xyz is not None:
             if lazy_load:
@@ -129,6 +130,7 @@ def load_simplemap(path: Union[str, Path]) -> List:
                 scan_xyz=scan,
                 scan_path=e.get("scan_path"),
                 gnss=e.get("gnss") or None,
+                metadata=e.get("metadata") or None,
             )
         )
     return out

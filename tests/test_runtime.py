@@ -206,3 +206,24 @@ def test_ros2_bridge_gated():
 
     with _pytest.raises(ImportError, match="rclpy"):
         BridgeROS2(runtime=None, config={})
+
+
+def test_publisher_callbacks(tiny_lo):
+    """advertiseUpdatedLocalization / advertiseUpdatedMap counterparts."""
+    import numpy as np
+
+    from mola_lidar_odometry_tpu.utils import sim
+
+    lo = tiny_lo
+    lo.reset()
+    loc_updates, map_updates = [], []
+    lo.subscribe_localization_updates(loc_updates.append)
+    lo.subscribe_map_updates(map_updates.append)
+    lo.publish_map_updates_every_n = 1
+    traj, scans = sim.simulate_sequence(3, n_rings=8, n_azimuth=128)
+    for k, (xyz, times, rings, valid) in enumerate(scans):
+        lo.on_lidar_scan(xyz[valid], traj.stamps[k], times=times[valid])
+    assert len(loc_updates) == 3
+    assert "t" in loc_updates[0] and loc_updates[0]["t"].shape == (3,)
+    assert len(map_updates) >= 1
+    assert map_updates[0].ndim == 2 and map_updates[0].shape[1] == 3
