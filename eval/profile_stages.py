@@ -126,12 +126,16 @@ def main():
     print(f"GN solve (2 inner, {args.icp_cap} pairs):     {1e3 * t_gn:8.2f} ms")
 
     # --- one full ICP align (fixed 10 iterations) ---
+    import jax as _jax
+
     cfg = icp_ops.IcpConfig(
         matchers=(icp_ops.MatcherCfg(threshold=Expr("2.0"), local_layer="icp"),),
         kernel_param=Expr("1.0"),
         max_iterations=10,
         min_abs_step_trans=0.0,  # force all 10 iterations
         min_abs_step_rot=0.0,
+        hook_min_trans=1e9,  # enable capture-once (hook never fires)
+        use_pallas=_jax.default_backend() == "tpu",
     )
 
     def align(m, q, qv):
