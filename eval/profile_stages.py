@@ -48,7 +48,7 @@ def main():
     from mola_lidar_odometry_tpu.models import step as step_mod
     from mola_lidar_odometry_tpu.models.spec import spec_from_yaml
     from mola_lidar_odometry_tpu.models.step import Scan
-    from mola_lidar_odometry_tpu.ops import filters as F, icp as icp_ops, se3, voxel_hash as vh
+    from mola_lidar_odometry_tpu.ops import filters as F, icp as icp_ops, voxel_hash as vh
     from mola_lidar_odometry_tpu.ops.pointcloud import PointCloud
     from mola_lidar_odometry_tpu.ops.se3 import Pose
     from mola_lidar_odometry_tpu.ops.solver import PosePrior

@@ -20,9 +20,7 @@ import argparse
 import os
 import sys
 import time
-from typing import Optional
 
-import numpy as np
 
 
 def build_parser() -> argparse.ArgumentParser:

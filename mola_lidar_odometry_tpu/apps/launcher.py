@@ -34,7 +34,6 @@ import time
 from pathlib import Path
 from typing import Any, Dict
 
-import numpy as np
 
 
 def launch(launch_yaml: str) -> int:

@@ -32,7 +32,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional
 
-import numpy as np
 
 
 class BridgeROS2:

@@ -16,10 +16,9 @@ ring-buffered and attached to simple-map keyframes by timestamp proximity
 from __future__ import annotations
 
 import re
-import time as _time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Sequence, Union
+from typing import Any, Dict, List, Optional, Union
 
 import jax
 import numpy as np

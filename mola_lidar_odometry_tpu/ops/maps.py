@@ -17,7 +17,7 @@ deep per-voxel point budget — same insert/NN/prune contract, one code path.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Dict, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

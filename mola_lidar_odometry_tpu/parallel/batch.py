@@ -17,8 +17,7 @@ axis exists for few-instance / huge-scan configurations.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

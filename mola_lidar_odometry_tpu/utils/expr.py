@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import math
 import re
-from typing import Callable, Dict, Mapping, Union
+from typing import Mapping, Union
 
 import jax.numpy as jnp
 

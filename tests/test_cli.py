@@ -82,7 +82,6 @@ def test_multisession_resume(tmp_path):
 def test_localization_only_mode(tmp_path):
     """Mapping disabled + preloaded map = localization-only session
     (reference MOLA_MAPPING_ENABLED / load_existing_local_map)."""
-    import jax.numpy as jnp
 
     from mola_lidar_odometry_tpu.models.odometry import LidarOdometry
     from mola_lidar_odometry_tpu.utils import sim

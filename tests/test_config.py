@@ -1,6 +1,5 @@
 """Tests for the expression DSL and YAML config loader (reference L6 parity)."""
 
-import numpy as np
 import pytest
 
 from mola_lidar_odometry_tpu.utils.expr import Expr, ExprError

@@ -1,6 +1,5 @@
 """Dataset-reader tests over synthetic on-disk trees (no real datasets)."""
 
-import struct
 
 import numpy as np
 import pytest

@@ -9,7 +9,6 @@ fragments live in an unavailable external package.
 
 import os
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from mola_lidar_odometry_tpu.ops import icp, se3, voxel_hash as vh
 from mola_lidar_odometry_tpu.ops.pointcloud import PointCloud

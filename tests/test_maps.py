@@ -1,6 +1,5 @@
 """Tests for the NDT and occupancy map layers + point-to-plane ICP."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

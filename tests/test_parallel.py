@@ -2,7 +2,6 @@
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 import pytest
 
 from mola_lidar_odometry_tpu.models.spec import spec_from_yaml

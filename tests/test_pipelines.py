@@ -8,7 +8,6 @@ finite poses, and (where applicable) populates its map layers.
 
 import os
 
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
