@@ -137,3 +137,26 @@ def test_icplog_viewer(tmp_path):
     out = str(tmp_path / "view.png")
     rc = viewer_main([str(p), "-o", out])
     assert rc == 0 and (tmp_path / "view.png").exists()
+
+
+def test_cli_kitti_layout_end_to_end(tmp_path, monkeypatch):
+    """The full real-dataset flow: KITTI directory tree -> CLI -> TUM + GT,
+    exercising the native decoder when built."""
+    from tests.test_datasets import make_kitti_tree
+
+    from mola_lidar_odometry_tpu.apps.cli import main
+
+    # bigger synthetic frames so the pipeline has something to chew
+    make_kitti_tree(tmp_path, n_frames=3, n_pts=3000)
+    monkeypatch.setenv("KITTI_BASE_DIR", str(tmp_path))
+    out_tum = str(tmp_path / "kitti.tum")
+    rc = main([
+        "-c", PIPELINE, "--input-kitti-seq", "00",
+        "--raw-capacity", "8192", "--map-slots", "16384",
+        "--output-tum-path", out_tum, "-v", "ERROR",
+    ])
+    assert rc == 0
+    rows = np.loadtxt(out_tum)
+    assert rows.shape == (3, 8)
+    gt = np.loadtxt(out_tum + ".gt.tum")
+    assert gt.shape == (3, 8)
