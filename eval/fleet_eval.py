@@ -59,11 +59,13 @@ def main() -> int:
         raw_capacity=args.raw_capacity,
         map_slots=args.map_slots,
         layer_capacities={
+            # scale with the input size so large fleets fit in HBM (the
+            # capture-once candidate cache is B x icp_cap x P*K x 3 floats)
             "raw": args.raw_capacity,
-            "decimated_for_map_raw": 1 << 15,
-            "decimated_for_icp_skewed": 1 << 13,
-            "decimated_for_icp": 1 << 13,
-            "decimated_for_map": 1 << 15,
+            "decimated_for_map_raw": min(1 << 15, args.raw_capacity),
+            "decimated_for_icp_skewed": min(1 << 13, max(1024, args.raw_capacity // 4)),
+            "decimated_for_icp": min(1 << 13, max(1024, args.raw_capacity // 4)),
+            "decimated_for_map": min(1 << 15, args.raw_capacity),
         },
     )
 
