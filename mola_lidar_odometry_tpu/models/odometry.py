@@ -98,6 +98,7 @@ class LidarOdometry:
         # publisher callbacks (the mola_kernel advertise* interfaces,
         # reference LidarOdometry.cpp:2079-2149): localization every scan,
         # map every publish_map_updates_every_n keyframes
+        self._stamp0 = None  # host f64 stamp base (first scan)
         self._localization_subscribers: List = []
         self._map_subscribers: List = []
         self.publish_map_updates_every_n = 10
@@ -112,6 +113,9 @@ class LidarOdometry:
     def on_gnss(self, stamp: float, data: dict) -> None:
         """Ring-buffer GNSS observations for simple-map keyframes
         (reference onGPSImpl, LidarOdometry.cpp:1392-1414; buffer of 100)."""
+        if self._stamp0 is None:
+            self._stamp0 = float(stamp)
+        stamp = float(stamp) - self._stamp0
         self._gnss_buffer.append({"stamp": stamp, **data})
         if len(self._gnss_buffer) > 100:
             self._gnss_buffer.pop(0)
@@ -142,6 +146,9 @@ class LidarOdometry:
         else:
             pose = np.asarray(pose)
             R, t = pose[:3, :3], pose[:3, 3]
+        if self._stamp0 is None:
+            self._stamp0 = float(stamp)
+        stamp = float(stamp) - self._stamp0
         with self.profiler.enter("onWheelOdometry"):
             if self._last_odom is not None:
                 R0, t0 = self._last_odom
@@ -196,6 +203,13 @@ class LidarOdometry:
         if not self.active or self._fatal_error:
             return None
         try:
+            # Rebase stamps to the first scan (float64 on host): device time
+            # is float32, whose ulp reaches ~1 ms at t=10^4 s — enough to
+            # corrupt 0.1 s inter-scan deltas on long recordings.  Outputs
+            # add the base back (estimated_trajectory / simplemap).
+            if self._stamp0 is None:
+                self._stamp0 = float(stamp)
+            stamp = float(stamp) - self._stamp0
             scan = self._pad_scan(xyz, stamp, times, intensity, ring)
             if self._icp_log is not None and self._icp_log.want_frame():
                 self._write_icp_log(scan)
@@ -297,7 +311,7 @@ class LidarOdometry:
         if bool(out.accepted):
             q = np.asarray(se3.rot_to_quat(out.pose_R))
             entry = {
-                "stamp": float(out.stamp),
+                "stamp": float(out.stamp) + (self._stamp0 or 0.0),
                 "t": np.asarray(out.pose_t, np.float64),
                 "quat_xyzw": q.astype(np.float64),
             }
@@ -313,7 +327,7 @@ class LidarOdometry:
                         "n_points": int(len(keep_scan)),
                     }
                 kf = SimpleMapKeyframe(
-                    stamp=float(out.stamp),
+                    stamp=float(out.stamp) + (self._stamp0 or 0.0),
                     t=entry["t"],
                     quat_xyzw=entry["quat_xyzw"],
                     twist=np.asarray(out.twist, np.float64),

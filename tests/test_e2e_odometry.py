@@ -11,6 +11,7 @@ import os
 
 import jax.numpy as jnp
 import numpy as np
+import jax
 import pytest
 
 from mola_lidar_odometry_tpu.models.odometry import LidarOdometry
@@ -129,3 +130,45 @@ def test_long_horizon_drift():
     # KITTI-class LO achieves ~0.5-1%; the synthetic world is harder (sparse
     # rings, repetitive boxes) — gate at 5% to catch real regressions
     assert drift_pct < 5.0, f"drift {drift_pct:.2f}% over {path_len:.1f} m"
+
+
+def test_large_absolute_timestamps():
+    """Stamps far from zero (e.g. unix epoch seconds) must not degrade the
+    estimate: the host rebases to f64 before the f32 device time axis."""
+    lo = LidarOdometry.from_yaml_file(PIPELINE, **TEST_OVERRIDES)
+    traj, scans = sim.simulate_sequence(5, n_rings=16, n_azimuth=512)
+    base = 1.7e9  # unix-epoch-scale stamps: f32 ulp here is ~128 s!
+    outs = []
+    for k, (xyz, times, rings, valid) in enumerate(scans):
+        outs.append(
+            lo.on_lidar_scan(xyz[valid], base + traj.stamps[k], times=times[valid])
+        )
+    assert all(bool(o.accepted) for o in outs)
+    assert all(bool(o.processed) for o in outs)
+    # outputs carry the original absolute stamps
+    tr = lo.estimated_trajectory()
+    np.testing.assert_allclose(tr["stamps"], base + traj.stamps[:5], rtol=0, atol=1e-4)
+    # and the twist estimate is sane (dt didn't collapse to f32 garbage)
+    v = np.linalg.norm(np.asarray(outs[-1].twist[:3]))
+    assert 0.0 <= v < 20.0
+
+
+def test_gnss_before_first_scan_epoch_stamps():
+    """A GNSS fix that arrives before the first scan (raw epoch stamps) must
+    still pair with the first keyframe after rebasing."""
+    from dataclasses import replace
+
+    from mola_lidar_odometry_tpu.models.step import make_step
+
+    lo = LidarOdometry.from_yaml_file(PIPELINE, **TEST_OVERRIDES)
+    lo.spec = replace(lo.spec, simplemap=replace(lo.spec.simplemap, generate=True))
+    lo._step = jax.jit(make_step(lo.spec))
+    base = 1.7e9
+    traj, scans = sim.simulate_sequence(3, n_rings=16, n_azimuth=512)
+    lo.on_gnss(base - 0.02, {"lat": 40.0, "lon": -3.0, "alt": 600.0})
+    for k, (xyz, times, rings, valid) in enumerate(scans):
+        lo.on_lidar_scan(xyz[valid], base + traj.stamps[k], times=times[valid])
+    kfs = [kf for kf in lo.simplemap if kf.scan_xyz is not None]
+    assert kfs and kfs[0].gnss is not None
+    assert abs(kfs[0].gnss["lat"] - 40.0) < 1e-9
+    assert kfs[0].stamp == pytest.approx(base, abs=1e-3)
