@@ -105,6 +105,9 @@ class LidarOdometry:
         self._kf_counter = 0
         self.frames_processed = 0
         self.frames_dropped = 0
+        # reset() is the reference's full re-initialization: a fatal-error
+        # latch from a previous run clears here (LidarOdometry.cpp:495-501)
+        self._fatal_error = False
 
     # -- observation dispatch (reference onNewObservation :503-603) --------
     def matches_lidar_label(self, label: str) -> bool:
