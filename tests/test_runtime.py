@@ -227,3 +227,13 @@ def test_publisher_callbacks(tiny_lo):
     assert "t" in loc_updates[0] and loc_updates[0]["t"].shape == (3,)
     assert len(map_updates) >= 1
     assert map_updates[0].ndim == 2 and map_updates[0].shape[1] == 3
+
+
+def test_reset_clears_fatal_latch(tiny_lo):
+    lo = tiny_lo
+    lo.reset()
+    lo._fatal_error = True
+    assert lo.on_lidar_scan(np.zeros((10, 3), np.float32), 0.0) is None  # dead
+    lo.reset()
+    out = lo.on_lidar_scan(np.random.default_rng(0).uniform(-10, 10, (500, 3)).astype(np.float32), 0.0)
+    assert out is not None and bool(out.processed)
