@@ -139,6 +139,7 @@ class OdometrySpec:
     gnss_sensor_label: str = "gps"
     multiple_lidar_count: int = 1
     multiple_lidar_max_time_offset: float = 0.1
+    max_worker_thread_queue_before_drop: int = 500
     save_trajectory: bool = False
     trajectory_output_file: str = "estimated_trajectory.tum"
     debug_traces_save: bool = False
@@ -394,6 +395,9 @@ def spec_from_yaml(cfg: dict, **overrides) -> OdometrySpec:
         gnss_sensor_label=as_str(params.get("gnss_sensor_label", "gps")),
         multiple_lidar_count=int(float(ml.get("lidar_count", 1))),
         multiple_lidar_max_time_offset=as_float(ml.get("max_time_offset"), 0.1),
+        max_worker_thread_queue_before_drop=int(
+            float(params.get("max_worker_thread_queue_before_drop", 500))
+        ),
         save_trajectory=as_bool(est_traj.get("save_to_file"), default=False),
         trajectory_output_file=as_str(est_traj.get("output_file", "estimated_trajectory.tum")),
         debug_traces_save=as_bool(traces.get("save_to_file"), default=False),

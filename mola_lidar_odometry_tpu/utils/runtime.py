@@ -101,11 +101,14 @@ class AsyncLidarOdometry:
     latch, and multi-LiDAR synchronization.
     """
 
-    MAX_QUEUE_BEFORE_DROP = 500  # reference LidarOdometry.h:141
-
     def __init__(self, odometry):
         self.lo = odometry
         spec = odometry.spec
+        # queue-overflow drop threshold (reference LidarOdometry.h:141,
+        # YAML param max_worker_thread_queue_before_drop)
+        self.max_queue_before_drop = getattr(
+            spec, "max_worker_thread_queue_before_drop", 500
+        )
         self.worker = WorkerThreadsPool(1, "lidar_odometry")
         self._requests: List[Callable[[], None]] = []
         self._req_mtx = threading.Lock()
@@ -122,7 +125,7 @@ class AsyncLidarOdometry:
     def on_new_observation(self, obs: Observation) -> None:
         if self._fatal or not self.lo.active:
             return
-        if self.worker.pending_tasks() > self.MAX_QUEUE_BEFORE_DROP:
+        if self.worker.pending_tasks() > self.max_queue_before_drop:
             self._dropped += 1
             return
         if any(r.match(obs.label) for r in self._lidar_res):

@@ -237,3 +237,28 @@ def test_reset_clears_fatal_latch(tiny_lo):
     lo.reset()
     out = lo.on_lidar_scan(np.random.default_rng(0).uniform(-10, 10, (500, 3)).astype(np.float32), 0.0)
     assert out is not None and bool(out.processed)
+
+
+def test_queue_overflow_drop():
+    """Observations past max_worker_thread_queue_before_drop are dropped."""
+    lo = FakeLO()
+    lo.spec.max_worker_thread_queue_before_drop = 3
+
+    import threading
+    gate = threading.Event()
+    slow_calls = []
+
+    def slow(xyz, stamp, **kw):
+        gate.wait(2.0)
+        slow_calls.append(stamp)
+
+    lo.on_lidar_scan = slow
+    rt = AsyncLidarOdometry(lo)
+    xyz = np.zeros((5, 3), np.float32)
+    for k in range(10):
+        rt.on_new_observation(Observation("lidar", "lidar", float(k), {"xyz": xyz}))
+    assert rt.dropped_observations > 0
+    gate.set()
+    rt.worker.wait_all()
+    assert len(slow_calls) < 10
+    rt.shutdown()
