@@ -13,8 +13,9 @@ lane multiple — built once per align() from the cached AoS candidate set
 everything is (TILE, C) lane-aligned VPU math; the winning candidate is
 extracted with a one-hot sum (no in-kernel gather).
 
-Enabled on TPU with MOLA_TPU_PALLAS=1 (see ops/voxel_hash.nn_from fallback);
-tests run the same kernel in interpreter mode on CPU.
+Auto-enabled when the default backend is TPU; MOLA_TPU_PALLAS=0/1 forces.
+Tests run the same kernel in interpreter mode on CPU (tiny shapes only —
+the interpreter is orders of magnitude slower than compiled execution).
 """
 
 from __future__ import annotations
