@@ -133,7 +133,8 @@ def _sym_eigen_smallest(cov6: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Arra
             -2,
         )
 
-    M = shifted(e1) @ shifted(e2)  # (..., 3, 3)
+    # exact f32: the reduced-precision MXU path loses ~1e-1 here on TPU
+    M = jnp.matmul(shifted(e1), shifted(e2), precision=jax.lax.Precision.HIGHEST)
     norms = jnp.linalg.norm(M, axis=-2)  # column norms (..., 3)
     col = jnp.argmax(norms, axis=-1)
     v = jnp.take_along_axis(M, col[..., None, None], axis=-1)[..., 0]

@@ -18,6 +18,10 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+# TPU f32 matmul/einsum defaults to reduced-precision MXU passes; geometry
+# transforms must stay exact f32 (residual accuracy ~ convergence floor).
+_HI = jax.lax.Precision.HIGHEST
+
 # Series switch-over point: below this angle use Taylor expansions.
 _EPS = 1e-6
 
@@ -137,7 +141,7 @@ def se3_exp(xi: jax.Array) -> Pose:
     I = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), K.shape)
     R = I + A[..., None, None] * K + B[..., None, None] * K2
     V = I + B[..., None, None] * K + C[..., None, None] * K2
-    t = jnp.einsum("...ij,...j->...i", V, rho)
+    t = jnp.einsum("...ij,...j->...i", V, rho, precision=_HI)
     return Pose(R, t)
 
 
@@ -154,18 +158,21 @@ def se3_log(pose: Pose) -> jax.Array:
     safe_t2 = jnp.where(small, 1.0, theta2)
     coef = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0, (1.0 - A / (2.0 * B)) / safe_t2)
     Vinv = I - 0.5 * K + coef[..., None, None] * K2
-    rho = jnp.einsum("...ij,...j->...i", Vinv, pose.t)
+    rho = jnp.einsum("...ij,...j->...i", Vinv, pose.t, precision=_HI)
     return jnp.concatenate([rho, phi], axis=-1)
 
 
 def compose(a: Pose, b: Pose) -> Pose:
     """a ∘ b (apply b first, then a)."""
-    return Pose(a.R @ b.R, jnp.einsum("...ij,...j->...i", a.R, b.t) + a.t)
+    return Pose(
+        jnp.matmul(a.R, b.R, precision=_HI),
+        jnp.einsum("...ij,...j->...i", a.R, b.t, precision=_HI) + a.t,
+    )
 
 
 def inverse(p: Pose) -> Pose:
     Rt = jnp.swapaxes(p.R, -1, -2)
-    return Pose(Rt, -jnp.einsum("...ij,...j->...i", Rt, p.t))
+    return Pose(Rt, -jnp.einsum("...ij,...j->...i", Rt, p.t, precision=_HI))
 
 
 def relative(a: Pose, b: Pose) -> Pose:
@@ -175,7 +182,7 @@ def relative(a: Pose, b: Pose) -> Pose:
 
 def transform(p: Pose, pts: jax.Array) -> jax.Array:
     """Apply pose to points: (..., N, 3) -> (..., N, 3)."""
-    return jnp.einsum("...ij,...nj->...ni", p.R, pts) + p.t[..., None, :]
+    return jnp.einsum("...ij,...nj->...ni", p.R, pts, precision=_HI) + p.t[..., None, :]
 
 
 def pose_error_norms(a: Pose, b: Pose) -> Tuple[jax.Array, jax.Array]:

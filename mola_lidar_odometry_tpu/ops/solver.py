@@ -26,6 +26,8 @@ from typing import NamedTuple, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+_HI = jax.lax.Precision.HIGHEST
+
 from mola_lidar_odometry_tpu.ops import se3
 from mola_lidar_odometry_tpu.ops.se3 import Pose
 
@@ -80,15 +82,15 @@ def _block_normal_equations(pose: Pose, blk: PairingBlock, kernel_c):
         r2 = jnp.sum(r * r, axis=-1)
         w = geman_mcclure_weight(r2, kernel_c) * blk.valid * blk.weight
         Jw = J3 * w[:, None, None]
-        H = jnp.einsum("nij,nik->jk", Jw, J3)
-        b = jnp.einsum("nij,ni->j", Jw, r)
+        H = jnp.einsum("nij,nik->jk", Jw, J3, precision=_HI)
+        b = jnp.einsum("nij,ni->j", Jw, r, precision=_HI)
     elif blk.kind == "p2pl":
         r = jnp.sum(blk.nrm * (tp - blk.q_global), axis=-1)  # (N,)
-        J = jnp.einsum("ni,nij->nj", blk.nrm, J3)  # (N, 6)
+        J = jnp.einsum("ni,nij->nj", blk.nrm, J3, precision=_HI)  # (N, 6)
         w = geman_mcclure_weight(r * r, kernel_c) * blk.valid * blk.weight
         Jw = J * w[:, None]
-        H = jnp.einsum("ni,nj->ij", Jw, J)
-        b = jnp.einsum("ni,n->i", Jw, r)
+        H = jnp.einsum("ni,nj->ij", Jw, J, precision=_HI)
+        b = jnp.einsum("ni,n->i", Jw, r, precision=_HI)
     else:
         raise ValueError(blk.kind)
     return H, b
@@ -162,8 +164,8 @@ def gauss_newton_step(
     J = jnp.concatenate([I, -K], axis=-1)  # (N, 3, 6)
 
     Jw = J * w[:, None, None]
-    H = jnp.einsum("nij,nik->jk", Jw, J)
-    b = jnp.einsum("nij,ni->j", Jw, r)
+    H = jnp.einsum("nij,nik->jk", Jw, J, precision=_HI)
+    b = jnp.einsum("nij,ni->j", Jw, r, precision=_HI)
 
     # Prior term: residual log(prior_mean^{-1} pose), Jacobian ~ I
     rp = se3.se3_log(se3.relative(prior.mean, pose))
@@ -220,7 +222,7 @@ def solve_horn(
     qc = jnp.sum(w[:, None] * q_global, axis=0) / wsum
     P = (p_local - pc) * w[:, None]
     Q = q_global - qc
-    C = P.T @ Q  # (3, 3) cross-covariance
+    C = jnp.einsum("ni,nj->ij", P, Q, precision=_HI)  # (3,3) cross-covariance
     U, _, Vt = jnp.linalg.svd(C)
     d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
     D = jnp.diag(jnp.asarray([1.0, 1.0, 1.0], jnp.float32)).at[2, 2].set(d)
