@@ -163,7 +163,12 @@ def deskew(pc: PointCloud, twist: jax.Array, *, skip: bool = False) -> PointClou
     v, w = twist[:3], twist[3:]
     dt = pc.time[:, None]
     Rp = se3.so3_exp(w[None, :] * dt)  # (N, 3, 3)
-    xyz = jnp.einsum("nij,nj->ni", Rp, pc.xyz) + v[None, :] * dt
+    # exact f32: the default reduced-precision MXU pass corrupts deskewed
+    # coordinates by tens of cm at lidar range (see ops/se3._HI rationale)
+    xyz = (
+        jnp.einsum("nij,nj->ni", Rp, pc.xyz, precision=jax.lax.Precision.HIGHEST)
+        + v[None, :] * dt
+    )
     return pc._replace(xyz=jnp.where(pc.valid[:, None], xyz, pc.xyz))
 
 

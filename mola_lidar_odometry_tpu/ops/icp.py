@@ -248,6 +248,11 @@ def align(
         gn_pose, _ = solve_gauss_newton_blocks(
             pose, blocks, kernel_c, prior, cfg.gn_inner_iterations
         )
+        if cfg.horn is not None and not any(b.kind == "p2p" for b in blocks):
+            # Horn needs point-to-point pairings; a pipeline configuring
+            # Solver_Horn with only point2plane matchers would otherwise
+            # concatenate an empty list at trace time.  Skip the stage.
+            return gn_pose, jnp.asarray(False)
         if cfg.horn is not None:
             p2p = [b for b in blocks if b.kind == "p2p"]
             p_all = jnp.concatenate([b.p_local for b in p2p], axis=0)

@@ -10,7 +10,11 @@ Design: the same direct-mapped spatial-hash layout as ops/voxel_hash, with
 two stores per slot:
 
   * raw Gaussian **moments** for accumulation (scatter-add on insert):
-    ``s (V, 3)`` point sums and ``ss (V, 6)`` symmetric-packed second moments
+    ``s (V, 3)`` point sums and ``ss (V, 6)`` symmetric-packed second moments.
+    Moments are accumulated RELATIVE TO THE VOXEL CENTER (integer key * voxel
+    size + half): at km-scale global positions (KITTI length) ``ulp(x^2)``
+    reaches 0.1-1.0 in f32 and swamps true in-voxel variances; center-relative
+    accumulation keeps every term O(voxel_size).
   * a packed **query row** ``qdata (V, 12)`` refreshed after every insert:
     ``[key3 | n | mean3 | normal3 | plane_ok | pad]`` — so a neighborhood
     probe is ONE fused gather (per-gather fixed cost dominates on TPU; see
@@ -147,12 +151,21 @@ def _sym_eigen_smallest(cov6: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Arra
     return v, e3, e2
 
 
+def _voxel_centers(m: NdtMap) -> jax.Array:
+    return (m.qdata[:, :3] + 0.5) * m.voxel_size
+
+
 def _refresh_planes(m: NdtMap) -> NdtMap:
-    """Recompute per-voxel mean/normal/plane validity into the query rows."""
+    """Recompute per-voxel mean/normal/plane validity into the query rows.
+
+    ``s``/``ss`` hold voxel-center-relative moments, so the covariance is
+    formed from O(voxel_size) quantities and stays exact in f32 regardless
+    of how far the vehicle is from the origin.
+    """
     nf32 = m.qdata[:, 3]
     nf = jnp.maximum(nf32, 1.0)[:, None]
-    mean = m.s / nf
-    mx, my, mz = mean[:, 0], mean[:, 1], mean[:, 2]
+    mean_rel = m.s / nf
+    mx, my, mz = mean_rel[:, 0], mean_rel[:, 1], mean_rel[:, 2]
     cov6 = m.ss / nf - jnp.stack(
         [mx * mx, my * my, mz * mz, mx * my, mx * mz, my * mz], axis=-1
     )
@@ -162,6 +175,7 @@ def _refresh_planes(m: NdtMap) -> NdtMap:
         & (e_min >= -1e-6)
         & (e_min <= m.max_eigen_ratio * jnp.maximum(e_mid, 1e-12))
     )
+    mean = _voxel_centers(m) + mean_rel
     qdata = m.qdata.at[:, 4:7].set(mean)
     qdata = qdata.at[:, 7:10].set(v)
     qdata = qdata.at[:, 10].set(ok.astype(jnp.float32))
@@ -178,26 +192,33 @@ def insert(m: NdtMap, pc: PointCloud) -> NdtMap:
     accept, claim_ok = claim_slots(same_key, g4[:, 3] > 0, coords, slot, pc.valid, V)
 
     w = accept.astype(jnp.float32)
-    x, y, z = pc.xyz[:, 0], pc.xyz[:, 1], pc.xyz[:, 2]
+    rel = pc.xyz - (coords.astype(jnp.float32) + 0.5) * m.voxel_size
+    x, y, z = rel[:, 0], rel[:, 1], rel[:, 2]
     mom = jnp.stack([x * x, y * y, z * z, x * y, x * z, y * z], axis=-1)
 
     qdata = m.qdata.at[slot, 3].add(w, mode="drop")
     qdata = qdata.at[jnp.where(claim_ok, slot, V), :3].set(
         coords.astype(jnp.float32), mode="drop"
     )
-    new_s = m.s.at[slot].add(pc.xyz * w[:, None], mode="drop")
+    new_s = m.s.at[slot].add(rel * w[:, None], mode="drop")
     new_ss = m.ss.at[slot].add(mom * w[:, None], mode="drop")
     return _refresh_planes(m._replace(qdata=qdata, s=new_s, ss=new_ss))
 
 
 def prune_farther_than(m: NdtMap, center: jax.Array, distance) -> NdtMap:
-    """Drop voxels with L1 distance beyond ``distance`` (<=0 disables)."""
-    centers = (m.qdata[:, :3] + 0.5) * m.voxel_size
+    """Drop voxels with L1 distance beyond ``distance`` (<=0 disables).
+
+    Moments are zeroed with the count: a pruned slot may be re-claimed by a
+    different voxel later and must not inherit stale Gaussians.
+    """
+    centers = _voxel_centers(m)
     l1 = jnp.max(jnp.abs(centers - center), axis=-1)
     keep = ((l1 <= distance) | (distance <= 0)).astype(jnp.float32)
     qdata = m.qdata.at[:, 3].mul(keep)
     qdata = qdata.at[:, 10].mul(keep)
-    return m._replace(qdata=qdata)
+    return m._replace(
+        qdata=qdata, s=m.s * keep[:, None], ss=m.ss * keep[:, None]
+    )
 
 
 class NdtCandSet(NamedTuple):

@@ -110,5 +110,5 @@ LayerDict = Dict[str, PointCloud]
 
 def transform_cloud(R: jax.Array, t: jax.Array, pc: PointCloud) -> PointCloud:
     """Rigidly transform all points (valid mask unchanged)."""
-    xyz = jnp.einsum("ij,nj->ni", R, pc.xyz) + t
+    xyz = jnp.einsum("ij,nj->ni", R, pc.xyz, precision=jax.lax.Precision.HIGHEST) + t
     return pc._replace(xyz=xyz)

@@ -321,19 +321,24 @@ def p2pl_from(
     """
     from mola_lidar_odometry_tpu.ops import ndt as _ndt  # local: avoid cycle
 
-    pts, cmask = cand.pts, cand.mask
-    d2 = jnp.sum((pts - queries[:, None, :]) ** 2, axis=-1)
+    _hi = jax.lax.Precision.HIGHEST
+    # Moments are accumulated on QUERY-relative coordinates: at km-scale
+    # global positions ulp(x^2) swamps in-voxel variances in f32 and the
+    # plane fit collapses; the fit itself is translation-invariant.
+    rel = cand.pts - queries[:, None, :]  # (N, C, 3)
+    cmask = cand.mask
+    d2 = jnp.sum(rel * rel, axis=-1)
     w = (cmask & (d2 <= search_radius * search_radius)).astype(jnp.float32)
 
     cnt = jnp.sum(w, axis=1)  # (N,)
-    s = jnp.einsum("nc,ncd->nd", w, pts)
-    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    s = jnp.einsum("nc,ncd->nd", w, rel, precision=_hi)
+    x, y, z = rel[..., 0], rel[..., 1], rel[..., 2]
     mom = jnp.stack([x * x, y * y, z * z, x * y, x * z, y * z], -1)
-    ss = jnp.einsum("nc,ncd->nd", w, mom)
+    ss = jnp.einsum("nc,ncd->nd", w, mom, precision=_hi)
 
     nf = jnp.maximum(cnt, 1.0)[:, None]
-    mean = s / nf
-    mx, my, mz = mean[:, 0], mean[:, 1], mean[:, 2]
+    mean_rel = s / nf  # plane centroid relative to the query
+    mx, my, mz = mean_rel[:, 0], mean_rel[:, 1], mean_rel[:, 2]
     cov6 = ss / nf - jnp.stack(
         [mx * mx, my * my, mz * mz, mx * my, mx * mz, my * mz], -1
     )
@@ -343,7 +348,7 @@ def p2pl_from(
         & (e_min <= plane_eigen_threshold * jnp.maximum(e_mid, 1e-12))
     )
     found = valid & plane_ok
-    dpl = jnp.sum(nrm * (queries - mean), axis=-1)
+    dpl = -jnp.sum(nrm * mean_rel, axis=-1)  # signed dist: query - centroid
     plane_pt = queries - dpl[:, None] * nrm
     d2q = jnp.where(found, dpl * dpl, jnp.inf)
     return plane_pt, nrm, d2q, found

@@ -39,6 +39,7 @@ class WorkerThreadsPool:
 
     def __init__(self, num_threads: int = 1, name: str = "worker"):
         self._q: "queue.Queue[Optional[Callable[[], None]]]" = queue.Queue()
+        self.last_exception: Exception | None = None
         self._threads = [
             threading.Thread(target=self._run, name=f"{name}-{i}", daemon=True)
             for i in range(num_threads)
@@ -56,7 +57,15 @@ class WorkerThreadsPool:
             with self._lock:
                 self._busy += 1
             try:
+                # A raising task must NOT kill the worker: the loop keeps
+                # consuming (and task_done-ing) queued tasks so
+                # wait_all()/shutdown() always terminate — the reference
+                # latches fatal_error but keeps its pool alive
+                # (LidarOdometry.cpp:614-619).  The exception is recorded
+                # for callers that care (AsyncLidarOdometry latches fatal).
                 task()
+            except Exception as e:  # noqa: BLE001
+                self.last_exception = e
             finally:
                 with self._lock:
                     self._busy -= 1
@@ -141,10 +150,12 @@ class AsyncLidarOdometry:
     def _guard(self, fn, obs) -> None:
         try:
             fn(obs)
-        except Exception:
-            # reference: fatal_error latch discards future input (:614-619)
+        except Exception as e:  # noqa: BLE001
+            # reference: fatal_error latch discards future input (:614-619).
+            # Do NOT re-raise: the sole worker thread must stay alive so
+            # already-queued tasks drain and wait_all()/shutdown() terminate.
             self._fatal = True
-            raise
+            self._fatal_exception = e
 
     # -- handlers ----------------------------------------------------------
     def _on_lidar(self, obs: Observation) -> None:

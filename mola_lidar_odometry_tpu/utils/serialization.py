@@ -20,6 +20,19 @@ from typing import List, Union
 import numpy as np
 
 
+def _npz_path(path: Union[str, Path]) -> str:
+    """Normalize to the '.npz' path np.savez actually writes.
+
+    ``np.savez_compressed`` appends '.npz' when missing while ``np.load``
+    opens the literal path — so save('map.mm') + load('map.mm') would miss.
+    Both save and load go through this; load keeps a literal existing path.
+    """
+    p = str(path)
+    if p.endswith(".npz") or Path(p).exists():
+        return p
+    return p + ".npz"
+
+
 def save_metric_map(path: Union[str, Path], maps) -> None:
     """Persist the local map (the '.mm' analogue).
 
@@ -29,6 +42,7 @@ def save_metric_map(path: Union[str, Path], maps) -> None:
     """
     import json
 
+    path = _npz_path(path)
     if not isinstance(maps, dict):
         maps = {"localmap": maps}
     arrays = {}
@@ -60,7 +74,7 @@ def load_metric_map(path: Union[str, Path]):
         "NdtMap": NdtMap,
         "OccupancyMap": OccupancyMap,
     }
-    d = np.load(str(path), allow_pickle=False)
+    d = np.load(_npz_path(path), allow_pickle=False)
     meta = json.loads(str(d["__meta__"]))
     out = {}
     for name, info in meta.items():
@@ -77,7 +91,7 @@ def load_metric_map(path: Union[str, Path]):
 
 
 def save_simplemap(path: Union[str, Path], keyframes: List, lazy_load: bool = False) -> None:
-    path = Path(path)
+    path = Path(_npz_path(path))
     arrays = {}
     meta = []
     ext_dir = path.parent / (path.stem + "_Images")
@@ -110,7 +124,7 @@ def load_simplemap(path: Union[str, Path]) -> List:
     from mola_lidar_odometry_tpu.models.odometry import SimpleMapKeyframe
     import json
 
-    d = np.load(str(path), allow_pickle=False)
+    d = np.load(_npz_path(path), allow_pickle=False)
     meta = json.loads(str(d["meta"]))
     out = []
     for i, e in enumerate(meta):

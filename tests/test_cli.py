@@ -79,6 +79,26 @@ def test_multisession_resume(tmp_path):
     assert int(lo.carry.maps["localmap"].num_points()) > 0
 
 
+def test_metric_map_roundtrip_without_npz_extension(tmp_path):
+    """save('map.mm') + load('map.mm') must agree even though np.savez
+    appends '.npz' (ADVICE round 1)."""
+    import jax.numpy as jnp
+
+    from mola_lidar_odometry_tpu.ops.pointcloud import PointCloud
+    from mola_lidar_odometry_tpu.ops.voxel_hash import VoxelHashMap, insert
+    from mola_lidar_odometry_tpu.utils.serialization import (
+        load_metric_map,
+        save_metric_map,
+    )
+
+    m = VoxelHashMap.create(1 << 8, 4, 0.5)
+    m = insert(m, PointCloud.from_xyz(jnp.asarray([[0.1, 0.2, 0.3], [5.0, 5.0, 5.0]])))
+    path = str(tmp_path / "session.mm")  # no .npz
+    save_metric_map(path, m)
+    maps = load_metric_map(path)
+    assert int(maps["localmap"].num_points()) == int(m.num_points())
+
+
 def test_localization_only_mode(tmp_path):
     """Mapping disabled + preloaded map = localization-only session
     (reference MOLA_MAPPING_ENABLED / load_existing_local_map)."""

@@ -88,6 +88,42 @@ class TestNdtMap:
         m = ndt.prune_farther_than(m, jnp.zeros(3), 5.0)
         assert int(m.num_voxels()) < n0
 
+    def test_plane_fit_far_from_origin(self):
+        # KITTI-scale coordinates: at ~3.6 km from the origin ulp(x^2) in f32
+        # swamps in-voxel variances unless moments are voxel-center-relative
+        # (ADVICE round 1).  Plane normals must stay exact.
+        off = np.asarray([2000.0, 3000.0, 50.0], np.float32)
+        pts = plane_points(2000, [0.0, 0.0, 1.0], 0.0, extent=5.0, noise=0.01) + off
+        m = NdtMap.create(1 << 12, 1.0, max_eigen_ratio=0.05)
+        m = ndt.insert(m, PointCloud.from_xyz(jnp.asarray(pts)))
+        ok = np.asarray(m.plane_ok)
+        assert ok.sum() > 20, "plane gate starved far from origin"
+        nz = np.abs(np.asarray(m.normal)[ok][:, 2])
+        assert np.all(nz > 0.98)
+        # query projection onto the plane stays correct
+        q = jnp.asarray([off + np.asarray([1.2, 0.7, 0.3], np.float32)])
+        pt, nrm, d2, found = ndt.query_p2pl(m, q, jnp.ones(1, bool))
+        assert bool(found[0])
+        assert abs(float(jnp.sqrt(d2[0])) - 0.3) < 0.06
+
+    def test_reclaimed_slot_has_fresh_moments(self):
+        # prune zeroes moments with the count: a slot re-claimed by another
+        # voxel must not inherit stale Gaussians (round-1 latent bug)
+        pts = plane_points(800, [0, 0, 1.0], 0.0, extent=6.0, noise=0.01)
+        m = NdtMap.create(1 << 10, 1.0)
+        m = ndt.insert(m, PointCloud.from_xyz(jnp.asarray(pts)))
+        m = ndt.prune_farther_than(m, jnp.asarray([1e6, 1e6, 0.0]), 1.0)
+        assert int(m.num_voxels()) == 0
+        assert float(jnp.abs(m.s).max()) == 0.0
+        assert float(jnp.abs(m.ss).max()) == 0.0
+        # re-insert a vertical-wall plane; normals must reflect ONLY new data
+        wall = plane_points(800, [1.0, 0, 0], 3.0, extent=6.0, noise=0.01, seed=5)
+        m = ndt.insert(m, PointCloud.from_xyz(jnp.asarray(wall)))
+        ok = np.asarray(m.plane_ok)
+        assert ok.sum() > 10
+        nx = np.abs(np.asarray(m.normal)[ok][:, 0])
+        assert np.all(nx > 0.98)
+
     def test_icp_point2plane_converges(self):
         # two orthogonal planes + ground constrain all 6 DoF loosely; use
         # 3 planes for a well-posed problem

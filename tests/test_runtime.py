@@ -1,6 +1,7 @@
 """Tests for the module runtime (worker pool, dispatch, backpressure) and
 the auxiliary observation handlers (GNSS/IMU/wheel odometry, relocalize)."""
 
+import threading
 import time
 
 import numpy as np
@@ -94,6 +95,34 @@ class TestDispatch:
         )
         time.sleep(0.1)
         assert lo.calls == []
+
+    def test_worker_survives_handler_exception(self):
+        # A raising handler latches fatal but must NOT kill the sole worker
+        # thread: queued tasks drain and wait_all()/shutdown() terminate
+        # (ADVICE round 1 — reference keeps its pool alive,
+        # LidarOdometry.cpp:614-619).
+        lo = FakeLO()
+
+        def boom(*a, **kw):
+            raise RuntimeError("sensor exploded")
+
+        lo.on_gnss = boom
+        rt = AsyncLidarOdometry(lo)
+        # enqueue the bomb AND more work behind it in one burst
+        rt.on_new_observation(Observation("gnss", "gps", 0.0, {}))
+        rt.worker.enqueue(lambda: lo.calls.append(("after",)))
+        done = threading.Event()
+
+        def waiter():
+            rt.worker.wait_all()
+            done.set()
+
+        threading.Thread(target=waiter, daemon=True).start()
+        assert done.wait(timeout=5.0), "wait_all() deadlocked after exception"
+        assert rt.fatal_error
+        assert ("after",) in lo.calls  # queued task still executed
+        assert not rt.worker.is_busy()
+        rt.shutdown()  # terminates because the worker thread is alive
 
     def test_enqueue_request_runs_before_next_scan(self):
         lo = FakeLO()
