@@ -24,11 +24,14 @@ def log(*a):
 
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-BATCH = int(os.environ.get("MOLA_BENCH_BATCH", 1))
-N_SCANS = int(os.environ.get("MOLA_BENCH_SCANS", 10))
+# BATCH>=8 + a longer sequence: the BASELINE throughput target is defined on
+# the *batched* fleet mode (VERDICT round 1 item 1d), and a 30-scan run
+# reaches tracking steady state instead of measuring map bring-up.
+BATCH = int(os.environ.get("MOLA_BENCH_BATCH", 8))
+N_SCANS = int(os.environ.get("MOLA_BENCH_SCANS", 30))
 REPEATS = int(os.environ.get("MOLA_BENCH_REPEATS", 3))
 RAW_CAP = 1 << 17
-CACHE = os.path.join(HERE, ".bench_cache.npz")
+CACHE = os.path.join(HERE, ".bench_cache30.npz")
 
 
 def gen_scans():
@@ -79,16 +82,20 @@ def main():
     log(f"device: {jax.devices()[0]}  batch={BATCH}  scans={N_SCANS}")
 
     cfg = load_yaml_file(os.path.join(HERE, "pipelines", "lidar3d-default.yaml"), env={})
+    # Layer capacities sized to the measured workload with ~2x margin
+    # (decimated_for_map holds ~8.6k points on these scans, decimated_for_icp
+    # ~1.7k): oversized buffers make every scatter/align pay for padding.
+    # StepOutput's capacity counters guard the margin (asserted below).
     spec = spec_from_yaml(
         cfg,
         raw_capacity=RAW_CAP,
         map_slots=1 << 17,
         layer_capacities={
             "raw": RAW_CAP,
-            "decimated_for_map_raw": 1 << 16,
-            "decimated_for_icp_skewed": 1 << 13,
-            "decimated_for_icp": 1 << 13,
-            "decimated_for_map": 1 << 16,
+            "decimated_for_map_raw": 1 << 14,
+            "decimated_for_icp_skewed": 1 << 12,
+            "decimated_for_icp": 1 << 12,
+            "decimated_for_map": 1 << 14,
         },
         kf_ring_capacity=256,
     )
@@ -103,18 +110,23 @@ def main():
     @jax.jit
     def run_seq(carry, seq):
         carry, outs = jax.lax.scan(fstep, carry, seq)
-        return carry, (outs.quality, outs.iterations, outs.accepted)
+        return carry, (
+            outs.quality,
+            outs.iterations,
+            outs.accepted,
+            outs.map_collision_drops,
+        )
 
     carry0 = pb.init_fleet_carry(spec, BATCH)
     t0 = time.time()
-    _, (q, iters, acc) = run_seq(carry0, seq)
+    _, (q, iters, acc, cold) = run_seq(carry0, seq)
     jax.block_until_ready(q)
     log(f"compile+first sequence: {time.time() - t0:.1f}s")
 
     best = np.inf
     for r in range(REPEATS):
         t0 = time.time()
-        _, (q, iters, acc) = run_seq(pb.init_fleet_carry(spec, BATCH), seq)
+        _, (q, iters, acc, cold) = run_seq(pb.init_fleet_carry(spec, BATCH), seq)
         jax.block_until_ready(q)
         best = min(best, time.time() - t0)
         log(f"run {r}: {time.time() - t0:.2f}s")
@@ -125,7 +137,8 @@ def main():
     log(
         f"best: {best:.2f}s for {total_scans} scans -> {scans_per_sec:.1f} scans/s/chip; "
         f"{iters_sum / best:.0f} ICP iters/s; mean q(frames>0)={float(np.asarray(q)[1:].mean()):.3f}; "
-        f"accepted={int(np.asarray(acc).sum())}/{total_scans}"
+        f"accepted={int(np.asarray(acc).sum())}/{total_scans}; "
+        f"hash-collision drops={int(np.asarray(cold).sum())}"
     )
 
     print(

@@ -44,6 +44,18 @@ class NavStateConfig:
     sigma_integrator_position: float = 1.0  # [m]
     sigma_integrator_orientation: float = 1.0  # [rad]
     initial_twist: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    # Prior strength of ``initial_twist`` in the window solve (reference
+    # pipelines/lidar3d-default.yaml:141-142): the window's pooled twist
+    # evidence counts as one unit-sigma observation, the prior as a
+    # 1/sigma^2-weighted one, so small sigmas pin the twist to the prior.
+    initial_twist_sigma_lin: float = 20.0  # [m/s]
+    initial_twist_sigma_ang: float = 3.0  # [rad/s]
+    # Geman-McClure scale for IRLS over the window's per-pair twists
+    # (reference :144 ``robust_param``); 0 disables robust reweighting.
+    robust_param: float = 0.0
+    # Reject the window solution when its weighted twist RMSE exceeds this
+    # (fall back to ``initial_twist``; reference :145 ``max_rmse``).
+    max_rmse: float = 0.0
 
     @staticmethod
     def from_yaml(cfg: dict) -> "NavStateConfig":
@@ -66,6 +78,10 @@ class NavStateConfig:
                 cfg.get("sigma_integrator_orientation"), 1.0
             ),
             initial_twist=tuple(float(as_float(x)) for x in tw),
+            initial_twist_sigma_lin=as_float(cfg.get("initial_twist_sigma_lin"), 20.0),
+            initial_twist_sigma_ang=as_float(cfg.get("initial_twist_sigma_ang"), 3.0),
+            robust_param=as_float(cfg.get("robust_param"), 0.0),
+            max_rmse=as_float(cfg.get("max_rmse"), 0.0),
         )
 
 
@@ -150,9 +166,32 @@ def estimate(buf: NavStateBuffer, cfg: NavStateConfig, t_query) -> NavStateEstim
     w = jnp.where(pair_ok, dt * dt * jnp.exp(-jnp.maximum(age, 0.0) / tau), 0.0)
     wsum = jnp.sum(w)
     have_pairs = wsum > 0
-    twist_est = jnp.sum(tw_pairs * w[:, None], axis=0) / jnp.where(have_pairs, wsum, 1.0)
+    # Normalize the window's pooled evidence to one unit-sigma twist
+    # observation, then solve the tiny weighted LS together with the
+    # initial-twist prior (weights 1/sigma^2 per axis) under optional
+    # Geman-McClure IRLS over the per-pair twist residuals — the
+    # ``NavStateFuse`` contract (reference pipelines/lidar3d-default.yaml:
+    # 138-145: initial_twist + sigmas, robust_param, max_rmse).
+    wn = w / jnp.where(have_pairs, wsum, 1.0)  # (W-1,) sum<=1
     init_tw = jnp.asarray(cfg.initial_twist, jnp.float32)
-    twist = jnp.where(have_pairs, twist_est, init_tw)
+    sl = max(cfg.initial_twist_sigma_lin, 1e-6)
+    sa = max(cfg.initial_twist_sigma_ang, 1e-6)
+    w0 = jnp.asarray([1.0 / sl**2] * 3 + [1.0 / sa**2] * 3, jnp.float32)
+    rob2 = cfg.robust_param * cfg.robust_param
+    rw = jnp.ones_like(wn)
+    n_irls = 3 if cfg.robust_param > 0 else 1
+    twist = init_tw
+    for _ in range(n_irls):
+        den = jnp.sum(wn * rw) + w0
+        num = jnp.sum(tw_pairs * (wn * rw)[:, None], axis=0) + w0 * init_tw
+        twist = num / den
+        if cfg.robust_param > 0:
+            r2 = jnp.sum((tw_pairs - twist) ** 2, axis=-1)
+            rw = jnp.where(pair_ok, (rob2 / (r2 + rob2)) ** 2, 0.0)
+    if cfg.max_rmse > 0:
+        rmse = jnp.sqrt(jnp.sum(wn * jnp.sum((tw_pairs - twist) ** 2, axis=-1)))
+        twist = jnp.where(have_pairs & (rmse > cfg.max_rmse), init_tw, twist)
+    twist = jnp.where(have_pairs, twist, init_tw)
 
     horizon = t_query - last_time
     model_ok = any_valid & (horizon >= 0) & (horizon <= cfg.max_time_to_use_velocity_model)

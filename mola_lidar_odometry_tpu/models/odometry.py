@@ -56,7 +56,13 @@ class LidarOdometry:
     def __init__(self, spec: OdometrySpec):
         self.spec = spec
         self.profiler = Profiler(enabled=True)
-        self._step = jax.jit(step_mod.make_step(spec))
+        # step compilation is deferred to the first scan when pin_se2 is
+        # None (auto): the reference pins z/pitch/roll whenever the incoming
+        # observation IS a 2D scan (LidarOdometry.cpp:863-876); here a
+        # planar first scan resolves the auto mode (see _ensure_step)
+        self._step = None
+        if spec.pin_se2 is not None:
+            self._step = jax.jit(step_mod.make_step(spec))
         self.reset()
         self.active = spec.start_active
         self._fatal_error = False
@@ -73,6 +79,43 @@ class LidarOdometry:
             self._icp_log = IcpLogWriter(
                 decimation=int(_os.environ.get("MP2P_ICP_LOG_FILES_DECIMATION", 10))
             )
+        # Session preload (reference LidarOdometry.cpp:465-476; YAML
+        # `load_existing_local_map` / `load_existing_simple_map`, the
+        # MOLA_LOAD_MM / MOLA_LOAD_SM contract): multi-session mapping or
+        # localization-only runs start from a previous session's outputs.
+        self._closed = False
+        mm = spec.local_map_updates.load_existing_local_map
+        if mm:
+            self.load_local_map(mm)
+        sm = spec.simplemap.load_existing_simple_map
+        if sm:
+            from mola_lidar_odometry_tpu.utils.serialization import load_simplemap
+
+            self.simplemap = load_simplemap(sm)
+
+    def close(self) -> None:
+        """Flush configured outputs (reference destructor behavior,
+        LidarOdometry.cpp:84-111: save trajectory / simplemap / traces at
+        exit when the YAML asked for them).  Idempotent."""
+        if getattr(self, "_closed", True):
+            return
+        self._closed = True
+        if self.spec.save_trajectory and self.trajectory:
+            self.save_trajectory_tum(self.spec.trajectory_output_file)
+        if (
+            self.spec.simplemap.generate
+            and self.simplemap
+            and self.spec.simplemap.save_final_map_to_file
+        ):
+            self.save_simplemap(self.spec.simplemap.save_final_map_to_file)
+        if self.spec.debug_traces_save and self.traces:
+            self.save_debug_traces(self.spec.debug_traces_file)
+
+    def __del__(self):  # pragma: no cover - GC timing dependent
+        try:
+            self.close()
+        except Exception:
+            pass
 
     # -- construction ------------------------------------------------------
     @staticmethod
@@ -110,6 +153,19 @@ class LidarOdometry:
         self._fatal_error = False
 
     # -- observation dispatch (reference onNewObservation :503-603) --------
+    def _ensure_step(self, first_xyz: "np.ndarray") -> None:
+        """Resolve pin_se2=None (auto) from the first scan's planarity and
+        compile the step (reference LidarOdometry.cpp:863-876: SE(2) pinning
+        is keyed on the observation being a 2D range scan)."""
+        if self._step is not None:
+            return
+        import dataclasses
+
+        z = np.asarray(first_xyz)[:, 2] if len(first_xyz) else np.zeros(1)
+        planar = bool(np.max(np.abs(z)) < 1e-6) if z.size else False
+        self.spec = dataclasses.replace(self.spec, pin_se2=planar)
+        self._step = jax.jit(step_mod.make_step(self.spec))
+
     def matches_lidar_label(self, label: str) -> bool:
         return any(r.fullmatch(label) or r.match(label) for r in self._label_regexes)
 
@@ -139,7 +195,9 @@ class LidarOdometry:
         ``pose`` is a 4x4 (or (R, t)) absolute odometry-frame pose.  The
         relative motion since the previous odometry reading, composed onto
         the current estimate, enters the navstate window as a pose sample —
-        feeding the velocity model between LiDAR scans.
+        feeding the velocity model between LiDAR scans.  Like the reference,
+        this NEVER mutates the pose estimate itself (only ICP-accepted scans
+        move ``carry.pose``); odometry is velocity evidence only.
         """
         from mola_lidar_odometry_tpu.models import navstate as ns
         from mola_lidar_odometry_tpu.ops import se3
@@ -157,15 +215,24 @@ class LidarOdometry:
                 R0, t0 = self._last_odom
                 rel_R = R0.T @ R
                 rel_t = R0.T @ (t - t0)
-                cur = se3.Pose(self.carry.pose_R, self.carry.pose_t)
+                # chain the increment onto the NEWEST window pose (dead
+                # reckoning between scans), not the scan-gated carry pose —
+                # consecutive odometry samples must advance the window or
+                # the velocity evidence they encode is lost
+                nav = self.carry.nav
+                idx = np.nonzero(np.asarray(nav.valid))[0]
+                if len(idx):
+                    order = (int(nav.head) - 1 - np.arange(len(nav.times))) % len(nav.times)
+                    newest = next(i for i in order if bool(nav.valid[i]))
+                    cur = se3.Pose(nav.R[newest], nav.t[newest])
+                else:
+                    cur = se3.Pose(self.carry.pose_R, self.carry.pose_t)
                 new = se3.compose(
                     cur,
                     se3.Pose(jnp.asarray(rel_R, jnp.float32), jnp.asarray(rel_t, jnp.float32)),
                 )
                 self.carry = self.carry._replace(
                     nav=ns.fuse_pose(self.carry.nav, stamp, new),
-                    pose_R=new.R,
-                    pose_t=new.t,
                 )
             self._last_odom = (np.asarray(R, np.float64), np.asarray(t, np.float64))
 
@@ -214,6 +281,7 @@ class LidarOdometry:
                 self._stamp0 = float(stamp)
             stamp = float(stamp) - self._stamp0
             scan = self._pad_scan(xyz, stamp, times, intensity, ring)
+            self._ensure_step(xyz)
             if self._icp_log is not None and self._icp_log.want_frame():
                 self._write_icp_log(scan)
             with self.profiler.enter("onLidar"):
@@ -378,6 +446,8 @@ class LidarOdometry:
                     "n_icp": int(out.n_icp_layer),
                     "accepted": int(bool(out.accepted)),
                     "kf_local": int(bool(out.kf_local)),
+                    "map_collision_drops": int(out.map_collision_drops),
+                    "map_full_drops": int(out.map_full_drops),
                     "onLidar_time_ms": 1e3 * self.profiler.last("onLidar"),
                 }
             )

@@ -110,8 +110,10 @@ class OdometrySpec:
     )
     local_map_updates: LocalMapUpdatesCfg = field(default_factory=LocalMapUpdatesCfg)
     # SE(2) pinning: pin z/pitch/roll with 1e6 information (the reference does
-    # this whenever the observation is a 2D scan, LidarOdometry.cpp:863-876)
-    pin_se2: bool = False
+    # this whenever the observation is a 2D scan, LidarOdometry.cpp:863-876).
+    # None = auto: the host API inspects the first scan and pins when it is
+    # planar (a 2D range scan); True/False forces.
+    pin_se2: Optional[bool] = None
 
     # state / gating
     navstate: NavStateConfig = field(default_factory=NavStateConfig)
@@ -152,6 +154,24 @@ def _pallas_default() -> bool:
     NN kernel is ~20% end-to-end on v5e; interpret mode on CPU is too slow
     for production but fine for the dedicated kernel tests)."""
     v = os.environ.get("MOLA_TPU_PALLAS")
+    if v is not None:
+        return v == "1"
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+def _pvnn_default() -> bool:
+    """MOLA_TPU_PER_VOXEL_NN: 1/0 force, unset = on for TPU backends.
+
+    The per-voxel-NN capture view (closest point per probed voxel at the
+    align-entry pose, C = 27 candidates/query) is what makes the fully-fused
+    Pallas align kernel possible (candidates VMEM-resident for the whole
+    loop, ops/pallas_icp.py).  Under capture-once the selected point is at
+    most 2x(in-align pose delta <= 0.15 m hook bound) farther than the exact
+    in-voxel nearest; accuracy parity is gated by tests/test_oracle_parity
+    and the kernel-vs-XLA equivalence tests."""
+    v = os.environ.get("MOLA_TPU_PER_VOXEL_NN")
     if v is not None:
         return v == "1"
     import jax
@@ -210,6 +230,7 @@ def _icp_from_yaml(block: dict, spec_hook: Tuple[float, float]) -> Tuple[IcpConf
                     local_layer=as_str(row.get("local", "decimated_for_icp")),
                     global_layer=as_str(row.get("global", "localmap")),
                     threshold=as_expr(thr),
+                    threshold_angular_deg=as_float(mp.get("thresholdAngularDeg"), 0.0),
                     pairings_per_point=ppp,
                     weight=as_float(row.get("weight"), 1.0),
                     run_from_iteration=run_from,
@@ -237,7 +258,7 @@ def _icp_from_yaml(block: dict, spec_hook: Tuple[float, float]) -> Tuple[IcpConf
         nn_neighbors=int(os.environ.get("MOLA_TPU_NN_NEIGHBORS", 27)),
         anderson_m=int(os.environ.get("MOLA_TPU_ICP_ANDERSON", 0)),
         use_pallas=_pallas_default(),
-        per_voxel_nn=os.environ.get("MOLA_TPU_PER_VOXEL_NN", "0") == "1",
+        per_voxel_nn=_pvnn_default(),
         hook_min_trans=hook_trans,
         hook_min_rot=hook_rot,
     )
@@ -338,7 +359,11 @@ def spec_from_yaml(cfg: dict, **overrides) -> OdometrySpec:
         icp_local_layer=local_layer,
         map_layers=map_layers,
         map_inserts=tuple(map_inserts),
-        pin_se2=as_bool(params.get("pin_se2"), default=False),
+        pin_se2=(
+            as_bool(params.get("pin_se2"), default=False)
+            if params.get("pin_se2") is not None
+            else None
+        ),
         local_map_updates=LocalMapUpdatesCfg(
             enabled=as_bool(lm.get("enabled"), default=True),
             min_translation_between_keyframes=as_expr(lm.get("min_translation_between_keyframes", 0.0)),

@@ -116,6 +116,11 @@ class StepOutput(NamedTuple):
     n_raw: jax.Array  # i32 valid raw points
     n_icp_layer: jax.Array  # i32 valid points in the ICP layer
     corrections: jax.Array  # i32 twist re-opt corrections
+    # capacity-pressure counters (SURVEY §7 hard-part #1): hash-slot
+    # collision drops and per-voxel-cap drops summed over this step's map
+    # inserts — nonzero collision counts mean map_slots is undersized.
+    map_collision_drops: jax.Array  # i32
+    map_full_drops: jax.Array  # i32
 
 
 def init_carry(spec: OdometrySpec) -> Carry:
@@ -452,8 +457,11 @@ def make_step(spec: OdometrySpec) -> Callable[[Carry, Scan], Tuple[Carry, StepOu
         # skip the insert scatters entirely (the reference only touches the
         # map on KF frames, LidarOdometry.cpp:1161-1206; under vmap the cond
         # degrades to a select, same as before).
-        def do_map_update(maps_in: Dict[str, Any]) -> Dict[str, Any]:
+        from mola_lidar_odometry_tpu.ops.voxel_hash import InsertStats
+
+        def do_map_update(maps_in: Dict[str, Any]):
             maps_post = dict(maps_in)
+            stats = InsertStats.zero()
             for op in spec.map_inserts:
                 insert_pc = layers_f.get(op.input_layer)
                 if insert_pc is None:
@@ -462,21 +470,25 @@ def make_step(spec: OdometrySpec) -> Callable[[Carry, Scan], Tuple[Carry, StepOu
                     xyz=se3.transform(new_pose, insert_pc.xyz),
                     valid=insert_pc.valid & update_local_map,
                 )
-                maps_post[op.target_map_layer] = maps_ops.insert(
+                maps_post[op.target_map_layer], st = maps_ops.insert_stats(
                     maps_post[op.target_map_layer],
                     insert_global,
                     sensor_origin=new_pose.t,
                     layer_def=layer_defs[op.target_map_layer],
                 )
+                stats = stats + st
             for name, d in layer_defs.items():
                 prune_dist = d.remove_voxels_farther_than(env_map)
                 maps_post[name] = maps_ops.prune_farther_than(
                     maps_post[name], new_pose.t, prune_dist
                 )
-            return maps_post
+            return maps_post, stats
 
-        m_final = jax.lax.cond(
-            update_local_map, do_map_update, lambda ms: ms, maps_pre
+        m_final, ins_stats = jax.lax.cond(
+            update_local_map,
+            do_map_update,
+            lambda ms: (ms, InsertStats.zero()),
+            maps_pre,
         )
 
         icp_layer_pc = layers_f.get(spec.icp_local_layer, raw_pc)
@@ -499,6 +511,8 @@ def make_step(spec: OdometrySpec) -> Callable[[Carry, Scan], Tuple[Carry, StepOu
             n_raw=raw_pc.count().astype(jnp.int32),
             n_icp_layer=icp_layer_pc.count().astype(jnp.int32),
             corrections=corrections,
+            map_collision_drops=ins_stats.collision_drops,
+            map_full_drops=ins_stats.full_drops,
         )
 
         new_carry = Carry(
@@ -546,6 +560,7 @@ def make_step(spec: OdometrySpec) -> Callable[[Carry, Scan], Tuple[Carry, StepOu
                 sm_insert=jnp.asarray(False), map_restarted=jnp.asarray(False),
                 est_range=c.est_range,
                 n_raw=jnp.int32(0), n_icp_layer=jnp.int32(0), corrections=jnp.int32(0),
+                map_collision_drops=jnp.int32(0), map_full_drops=jnp.int32(0),
             )
             return c, out
 

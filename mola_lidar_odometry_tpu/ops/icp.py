@@ -33,6 +33,7 @@ data-dependent via ``lax.while_loop`` so converged frames exit early.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
@@ -59,10 +60,18 @@ class MatcherCfg:
     local_layer: str = "decimated_for_icp"
     global_layer: str = "localmap"
     threshold: Expr = field(default_factory=lambda: Expr("2.0*ADAPTIVE_THRESHOLD_SIGMA"))
+    # range-proportional threshold growth: effective threshold for a local
+    # point at sensor range r is ``threshold + r*sin(thresholdAngularDeg)``
+    # (reference pipelines/lidar3d-default.yaml:199, lidar2d.yaml:155)
+    threshold_angular_deg: float = 0.0
     pairings_per_point: int = 1
     weight: float = 1.0
     run_from_iteration: int = 0
     run_up_to_iteration: int = 0  # 0 = unbounded
+    # ``allowMatchAlreadyMatchedGlobalPoints: false`` = one-to-one pairing:
+    # each global point is claimed by at most one local point (the lowest-
+    # index claimant wins, mirroring the reference's in-order greedy pass;
+    # reference pipelines/lidar3d-default.yaml:200)
     allow_match_already_matched: bool = True
     # point2plane against point maps (on-the-fly plane fit; rgbd.yaml:143-151)
     search_radius: float = 0.8
@@ -156,6 +165,12 @@ def _matcher_blocks(
     for mc, cand in zip(cfg.matchers, candsets):
         xyz, valid = layers[mc.local_layer]
         thr = jnp.asarray(mc.threshold(env_it), jnp.float32)
+        if mc.threshold_angular_deg > 0:
+            # thresholdAngularDeg: the matching threshold grows with the
+            # local point's sensor range (reference Matcher_Points_
+            # DistanceThreshold; pipelines/lidar2d.yaml:155)
+            rng_pt = jnp.linalg.norm(xyz, axis=-1)
+            thr = thr + rng_pt * math.sin(math.radians(mc.threshold_angular_deg))
         active = it >= mc.run_from_iteration
         if mc.run_up_to_iteration > 0:
             active = active & (it <= mc.run_up_to_iteration)
@@ -173,7 +188,8 @@ def _matcher_blocks(
             blocks.append(PairingBlock("p2pl", xyz, tgt, nrm, pv, mc.weight))
         elif mc.pairings_per_point >= 2:
             tgt2, d22, found2 = maps_ops.match_p2p2(cand, q, valid)
-            pv2 = found2 & (d22 < thr * thr) & active[..., None]
+            thr2 = thr[..., None] if jnp.ndim(thr) else thr
+            pv2 = found2 & (d22 < thr2 * thr2) & active[..., None]
             z = jnp.zeros_like(xyz)
             blocks.append(PairingBlock("p2p", xyz, tgt2[:, 0], z, pv2[:, 0], mc.weight))
             blocks.append(PairingBlock("p2p", xyz, tgt2[:, 1], z, pv2[:, 1], mc.weight))
@@ -181,10 +197,131 @@ def _matcher_blocks(
         else:
             tgt, d2, found = maps_ops.match_p2p(cand, q, valid)
             pv = found & (d2 < thr * thr) & active
+            if not mc.allow_match_already_matched:
+                pv = _one_to_one(tgt, d2, pv)
             blocks.append(PairingBlock("p2p", xyz, tgt, jnp.zeros_like(xyz), pv, mc.weight))
         paired = paired + jnp.sum(pv).astype(jnp.float32)
         n_local = n_local + jnp.sum(valid).astype(jnp.float32)
     return blocks, paired, n_local
+
+
+def _one_to_one(tgt: jax.Array, d2: jax.Array, pv: jax.Array) -> jax.Array:
+    """``allowMatchAlreadyMatchedGlobalPoints: false``: keep at most one
+    pairing per global point — the lowest-index local claimant wins (the
+    reference's greedy in-order pass over local points).
+
+    Global-point identity comes from quantized coordinates (1 mm cells)
+    hashed into a claim table; a hash collision can drop a legitimate pair,
+    with the same rarity/impact as the map's own slot collisions."""
+    from mola_lidar_odometry_tpu.ops.filters import voxel_coords, voxel_hash
+
+    table = 1 << 16
+    key = voxel_hash(voxel_coords(tgt, 1e-3), table)
+    n = tgt.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    big = jnp.int32(n)
+    claim = jnp.full((table,), big, jnp.int32).at[key].min(
+        jnp.where(pv, idx, big), mode="drop"
+    )
+    return pv & (claim[key] == idx)
+
+
+def _fused_eligible(cfg: IcpConfig) -> bool:
+    """Static eligibility of the fully-fused Pallas align kernel."""
+    if len(cfg.matchers) != 1 or cfg.anderson_m >= 2 or cfg.horn is not None:
+        return False
+    mc = cfg.matchers[0]
+    return (
+        mc.kind == "point2point"
+        and mc.pairings_per_point == 1
+        and mc.run_from_iteration == 0
+        and mc.run_up_to_iteration == 0
+        and mc.allow_match_already_matched
+        and mc.threshold_angular_deg == 0.0
+    )
+
+
+# Mid-align candidate refresh: after this many iterations the pose has
+# absorbed most of its correction; one recapture there makes the top-2
+# per-voxel candidate view effectively exact for the remaining (annealing)
+# iterations.  Measured on the 12-frame sim: worst log-norm 0.58 with stale
+# top-1, 0.39 with stale top-2, ~exact-path (0.25) with top-2 + refresh.
+_FUSED_REFRESH_AT = 8
+
+
+def _align_fused_call(cfg, maps, layers, init_pose, prior, env, budget) -> IcpResult:
+    """Evaluate the per-iteration expression tables and run the fused kernel
+    (ops/pallas_icp.align_fused), with one mid-align candidate recapture."""
+    from mola_lidar_odometry_tpu.ops import pallas_icp
+
+    mc = cfg.matchers[0]
+    xyz, valid = layers[mc.local_layer]
+    maxit = cfg.max_iterations
+    env_vec = dict(env)
+    env_vec["ICP_ITERATION"] = jnp.arange(maxit, dtype=jnp.float32)
+    thr_tab = jnp.broadcast_to(
+        jnp.asarray(mc.threshold(env_vec), jnp.float32), (maxit,)
+    )
+    kc_tab = jnp.broadcast_to(
+        jnp.asarray(cfg.kernel_param(env_vec), jnp.float32), (maxit,)
+    )
+    interpret = jax.default_backend() != "tpu"
+    budget = jnp.asarray(budget, jnp.int32)
+
+    def run(cs, pose0, it0, remaining):
+        return pallas_icp.align_fused(
+            cs.pts,
+            cs.mask,
+            xyz,
+            valid,
+            pose0.R,
+            pose0.t,
+            prior.mean.R,
+            prior.mean.t,
+            prior.info,
+            thr_tab,
+            kc_tab,
+            remaining,
+            min_abs_step_trans=cfg.min_abs_step_trans,
+            min_abs_step_rot=cfg.min_abs_step_rot,
+            hook_min_trans=cfg.hook_min_trans,
+            hook_min_rot=cfg.hook_min_rot,
+            weight=mc.weight,
+            gn_inner=cfg.gn_inner_iterations,
+            maxit_static=maxit,
+            interpret=interpret,
+            it0=it0,
+            hook_ref_R=init_pose.R,
+            hook_ref_t=init_pose.t,
+        )
+
+    cs0 = _capture_all(cfg, maps, layers, init_pose)[0]
+    b1 = jnp.minimum(budget, _FUSED_REFRESH_AT)
+    R1, t1, it1, hook1, conv1, q1 = run(cs0, init_pose, jnp.int32(0), b1)
+    pose1 = Pose(R1, t1)
+
+    def phase2(_):
+        cs1 = _capture_all(cfg, maps, layers, pose1)[0]
+        R2, t2, it2, hook2, conv2, q2 = run(cs1, pose1, it1, budget - it1)
+        return R2, t2, it1 + it2, hook2, conv2, q2
+
+    def keep(_):
+        return R1, t1, it1, hook1, conv1, q1
+
+    # Phase 2 runs even when phase 1 "converged": a stale-candidate fixed
+    # point is exactly where the top-2 approximation errs, and confirming /
+    # correcting it against FRESH candidates costs 1-2 extra iterations.
+    # Only a hook stop (caller re-deskews and re-enters) or an exhausted
+    # budget skips the refresh.
+    need2 = (~hook1) & (budget > it1)
+    R, t, iters, hook, converged, quality = jax.lax.cond(need2, phase2, keep, None)
+    return IcpResult(
+        pose=Pose(R, t),
+        quality=quality,
+        iterations=iters,
+        hook_stop=hook,
+        converged=converged,
+    )
 
 
 def align(
@@ -213,6 +350,23 @@ def align(
     # compute).  Without the hook (and with a Horn coarse stage) corrections
     # can exceed a voxel, so candidates are re-captured every iteration.
     cache_ok = hook_on and cfg.horn is None
+
+    # Fully-fused Pallas align (ops/pallas_icp.py): the whole while-loop in
+    # one kernel with the candidates VMEM-resident.  Covers the shipped hot
+    # path (one p2p matcher, 1 pairing, capture-once, no Horn/Anderson) with
+    # candidate sets small enough for VMEM (top-2-per-voxel view, C <= 64).
+    if cache_ok and cfg.use_pallas and _fused_eligible(cfg):
+        from mola_lidar_odometry_tpu.ops.voxel_hash import VoxelHashMap as _VHM
+
+        mc0 = cfg.matchers[0]
+        m0 = maps.get(mc0.global_layer)
+        n_local = layers[mc0.local_layer][0].shape[-2]
+        if isinstance(m0, _VHM) and cfg.per_voxel_nn and m0.points_per_voxel > 2:
+            c_static = 2 * cfg.nn_neighbors  # top-2 per probed voxel
+            if c_static <= 64 and n_local <= 16384:
+                return _align_fused_call(
+                    cfg, maps, layers, init_pose, prior, env, budget
+                )
 
     def _maybe_planar(sets):
         if not cfg.use_pallas:

@@ -116,17 +116,26 @@ def map_def_from_yaml(name: str, md: dict, num_slots: int) -> MapLayerDef:
 
 
 def insert(state, pc: PointCloud, sensor_origin=None, layer_def: "MapLayerDef" = None):
+    return insert_stats(state, pc, sensor_origin, layer_def)[0]
+
+
+def insert_stats(state, pc: PointCloud, sensor_origin=None, layer_def: "MapLayerDef" = None):
+    """Insert + capacity-pressure counters (voxel_hash.InsertStats; zero for
+    map types without point-slot semantics)."""
     if isinstance(state, voxel_hash.VoxelHashMap):
-        return voxel_hash.insert(state, pc)
+        return voxel_hash.insert_stats(state, pc)
     if isinstance(state, ndt.NdtMap):
-        return ndt.insert(state, pc)
+        return ndt.insert_stats(state, pc)
     if isinstance(state, occupancy.OccupancyMap):
-        return occupancy.insert(
-            state,
-            pc,
-            sensor_origin,
-            ray_trace=layer_def.ray_trace_free_space if layer_def else True,
-            max_ray_samples=layer_def.max_ray_samples if layer_def else 512,
+        return (
+            occupancy.insert(
+                state,
+                pc,
+                sensor_origin,
+                ray_trace=layer_def.ray_trace_free_space if layer_def else True,
+                max_ray_samples=layer_def.max_ray_samples if layer_def else 512,
+            ),
+            voxel_hash.InsertStats.zero(),
         )
     raise TypeError(type(state))
 

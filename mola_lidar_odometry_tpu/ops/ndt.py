@@ -184,6 +184,12 @@ def _refresh_planes(m: NdtMap) -> NdtMap:
 
 def insert(m: NdtMap, pc: PointCloud) -> NdtMap:
     """Accumulate the valid points of ``pc`` (global frame) into the Gaussians."""
+    return insert_stats(m, pc)[0]
+
+
+def insert_stats(m: NdtMap, pc: PointCloud):
+    """Insert + capacity counters (NDT has no per-voxel point cap: moments
+    accumulate unbounded, so only slot-collision drops can occur)."""
     V = m.num_slots
     coords = voxel_coords(pc.xyz, m.voxel_size)
     slot = voxel_hash(coords, V)
@@ -202,7 +208,13 @@ def insert(m: NdtMap, pc: PointCloud) -> NdtMap:
     )
     new_s = m.s.at[slot].add(rel * w[:, None], mode="drop")
     new_ss = m.ss.at[slot].add(mom * w[:, None], mode="drop")
-    return _refresh_planes(m._replace(qdata=qdata, s=new_s, ss=new_ss))
+    from mola_lidar_odometry_tpu.ops.voxel_hash import InsertStats
+
+    stats = InsertStats(
+        collision_drops=jnp.sum(pc.valid & ~accept).astype(jnp.int32),
+        full_drops=jnp.int32(0),
+    )
+    return _refresh_planes(m._replace(qdata=qdata, s=new_s, ss=new_ss)), stats
 
 
 def prune_farther_than(m: NdtMap, center: jax.Array, distance) -> NdtMap:

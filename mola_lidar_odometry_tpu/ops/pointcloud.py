@@ -80,8 +80,18 @@ class PointCloud(NamedTuple):
         cost dominates on TPU; see ops/voxel_hash docstring).
         """
         n = self.capacity
-        idx = jnp.nonzero(self.valid, size=capacity, fill_value=n)[0]
-        in_range = idx < n
+        # first-`capacity` valid indices in input order via top_k: scoring
+        # valid points by descending input position makes top_k return them
+        # input-ordered.  ~10x cheaper than jnp.nonzero(size=...) on TPU
+        # (0.13 ms vs 1.2 ms at 131k->65k, eval/micro_ops.py).
+        score = jnp.where(self.valid, n - jnp.arange(n, dtype=jnp.int32), 0)
+        vals, idx = jax.lax.top_k(score, min(capacity, n))
+        if capacity > n:
+            pad = capacity - n
+            vals = jnp.pad(vals, (0, pad))
+            idx = jnp.pad(idx, (0, pad), constant_values=n)
+        in_range = vals > 0
+        idx = jnp.where(in_range, idx, n)
         safe = jnp.where(in_range, idx, 0)
         packed = jnp.concatenate(
             [

@@ -177,9 +177,20 @@ class TestAuxHandlers:
         T1 = np.eye(4)
         T1[:3, 3] = [0.5, 0.0, 0.0]
         lo.on_wheel_odometry(0.1, T1)
-        # second reading advanced the pose by the odometric increment
-        assert abs(float(lo.carry.pose_t[0]) - 0.5) < 1e-5
-        assert int(lo.carry.nav.head) >= 1
+        T2 = np.eye(4)
+        T2[:3, 3] = [1.0, 0.0, 0.0]
+        lo.on_wheel_odometry(0.2, T2)
+        # odometry is velocity evidence ONLY: the navstate window advanced
+        # but the pose estimate did not move (reference feeds fuse_odometry,
+        # never writes the pose — LidarOdometry.cpp:1357-1373)
+        assert abs(float(lo.carry.pose_t[0])) < 1e-6
+        assert int(lo.carry.nav.head) >= 2
+        # ...and the fused window carries the odometric velocity
+        from mola_lidar_odometry_tpu.models import navstate as ns
+
+        est = ns.estimate(lo.carry.nav, lo.spec.navstate, 0.25)
+        assert bool(est.valid)
+        assert abs(float(est.twist[0]) - 5.0) < 1.0  # ~0.5 m / 0.1 s
 
     def test_relocalize_near_pose(self, tiny_lo):
         lo = tiny_lo
