@@ -72,6 +72,8 @@ def decimate_voxels(
     input passes through unfiltered (reference
     ``minimum_input_points_to_filter``), still compacted to ``out_capacity``.
     """
+    from mola_lidar_odometry_tpu.ops import batched_mem as BM
+
     n = pc.capacity
     slots = voxel_hash(voxel_coords(pc.xyz, voxel_size), table_size)
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -80,29 +82,34 @@ def decimate_voxels(
     if method == "FirstPoint":
         cand = jnp.where(pc.valid, idx, big)
     elif method == "ClosestToAverage":
-        # Pass 1: per-slot centroid via scatter-add.
-        ssum = jnp.zeros((table_size, 3), jnp.float32).at[slots].add(
-            jnp.where(pc.valid[:, None], pc.xyz, 0.0), mode="drop"
+        # Pass 1: per-slot centroid via scatter-add (flat 3-lane layout so
+        # the batched form stays a single flat scatter).
+        idx3 = slots[:, None] * 3 + jnp.arange(3, dtype=jnp.int32)[None]
+        ssum = BM.scatter_add(
+            jnp.zeros((table_size * 3,), jnp.float32),
+            idx3,
+            jnp.where(pc.valid[:, None], pc.xyz, 0.0),
         )
-        scnt = jnp.zeros((table_size,), jnp.float32).at[slots].add(
-            pc.valid.astype(jnp.float32), mode="drop"
+        scnt = BM.scatter_add(
+            jnp.zeros((table_size,), jnp.float32), slots, pc.valid.astype(jnp.float32)
         )
-        mean = ssum[slots] / jnp.maximum(scnt[slots], 1.0)[:, None]
+        mean = BM.gather_rows(ssum.reshape(table_size, 3), slots) / jnp.maximum(
+            BM.gather_rows(scnt, slots), 1.0
+        )[:, None]
         d2 = jnp.sum((pc.xyz - mean) ** 2, axis=-1)
-        # Pack (distance, idx) into a single sortable int64-free key: use
-        # f32 distance bits (non-negative floats sort like their bits) in the
-        # high part of an int64 via two-stage scatter-min on int32 pairs.
-        # Simpler: scatter-min distance, then first index attaining it wins.
-        dist_table = jnp.full((table_size,), jnp.inf, jnp.float32).at[slots].min(
-            jnp.where(pc.valid, d2, jnp.inf), mode="drop"
+        # scatter-min distance, then the first index attaining it wins
+        dist_table = BM.table_min(
+            jnp.full((table_size,), jnp.inf, jnp.float32),
+            slots,
+            jnp.where(pc.valid, d2, jnp.inf),
         )
-        attains = pc.valid & (d2 <= dist_table[slots])
+        attains = pc.valid & (d2 <= BM.gather_rows(dist_table, slots))
         cand = jnp.where(attains, idx, big)
     else:
         raise ValueError(f"Unknown decimate method {method!r}")
 
-    table = jnp.full((table_size,), big, jnp.int32).at[slots].min(cand, mode="drop")
-    keep = pc.valid & (table[slots] == idx)
+    table = BM.table_min(jnp.full((table_size,), big, jnp.int32), slots, cand)
+    keep = pc.valid & (BM.gather_rows(table, slots) == idx)
 
     n_in = pc.count()
     passthrough = n_in < min_input_points

@@ -190,10 +190,13 @@ def insert(m: NdtMap, pc: PointCloud) -> NdtMap:
 def insert_stats(m: NdtMap, pc: PointCloud):
     """Insert + capacity counters (NDT has no per-voxel point cap: moments
     accumulate unbounded, so only slot-collision drops can occur)."""
+    from mola_lidar_odometry_tpu.ops import batched_mem as BM
+
     V = m.num_slots
+    Q = m.qdata.shape[1]
     coords = voxel_coords(pc.xyz, m.voxel_size)
     slot = voxel_hash(coords, V)
-    g4 = m.qdata[slot, :4]  # ONE gather of [key3|n] per point
+    g4 = BM.gather_rows(m.qdata[:, :4], slot)  # ONE gather of [key3|n]/pt
     same_key = jnp.all(g4[:, :3] == coords.astype(jnp.float32), axis=-1)
     accept, claim_ok = claim_slots(same_key, g4[:, 3] > 0, coords, slot, pc.valid, V)
 
@@ -202,12 +205,21 @@ def insert_stats(m: NdtMap, pc: PointCloud):
     x, y, z = rel[:, 0], rel[:, 1], rel[:, 2]
     mom = jnp.stack([x * x, y * y, z * z, x * y, x * z, y * z], axis=-1)
 
-    qdata = m.qdata.at[slot, 3].add(w, mode="drop")
-    qdata = qdata.at[jnp.where(claim_ok, slot, V), :3].set(
-        coords.astype(jnp.float32), mode="drop"
+    a3 = jnp.arange(3, dtype=jnp.int32)
+    qflat = BM.scatter_add(m.qdata.reshape(-1), slot * Q + 3, w)
+    key_base = jnp.where(claim_ok, slot * Q, V * Q)
+    qflat = BM.scatter_set(
+        qflat, key_base[:, None] + a3[None], coords.astype(jnp.float32)
     )
-    new_s = m.s.at[slot].add(rel * w[:, None], mode="drop")
-    new_ss = m.ss.at[slot].add(mom * w[:, None], mode="drop")
+    qdata = qflat.reshape(V, Q)
+    new_s = BM.scatter_add(
+        m.s.reshape(-1), (slot * 3)[:, None] + a3[None], rel * w[:, None]
+    ).reshape(V, 3)
+    new_ss = BM.scatter_add(
+        m.ss.reshape(-1),
+        (slot * 6)[:, None] + jnp.arange(6, dtype=jnp.int32)[None],
+        mom * w[:, None],
+    ).reshape(V, 6)
     from mola_lidar_odometry_tpu.ops.voxel_hash import InsertStats
 
     stats = InsertStats(
@@ -243,10 +255,14 @@ class NdtCandSet(NamedTuple):
 
 
 def capture(m: NdtMap, queries: jax.Array, neighbors: int = 27) -> NdtCandSet:
+    from mola_lidar_odometry_tpu.ops import batched_mem as BM
+
     base = voxel_coords(queries, m.voxel_size)
     cand = neighbor_coords(queries, base, m.voxel_size, neighbors)  # (N,P,3)
     slots = voxel_hash(cand, m.num_slots)
-    g = m.qdata[slots.reshape(-1)].reshape(cand.shape[0], cand.shape[1], 12)
+    g = BM.gather_rows(m.qdata, slots.reshape(-1)).reshape(
+        cand.shape[0], cand.shape[1], 12
+    )
     key_ok = jnp.all(g[..., :3] == cand.astype(jnp.float32), axis=-1)
     live = key_ok & (g[..., 3] > 0)
     return NdtCandSet(g[..., 4:7], g[..., 7:10], live, live & (g[..., 10] > 0))

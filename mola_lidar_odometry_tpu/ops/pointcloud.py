@@ -103,7 +103,9 @@ class PointCloud(NamedTuple):
             ],
             axis=-1,
         )  # (n, 7)
-        g = jnp.where(in_range[:, None], packed[safe], 0.0)
+        from mola_lidar_odometry_tpu.ops import batched_mem as BM
+
+        g = jnp.where(in_range[:, None], BM.gather_rows(packed, safe), 0.0)
         return PointCloud(
             xyz=g[:, :3],
             time=g[:, 3],

@@ -134,18 +134,20 @@ def claim_slots(
     point may write to its slot; claim_ok = this point's voxel newly owns
     the slot (write the key).
     """
+    from mola_lidar_odometry_tpu.ops import batched_mem as BM
+
     n = coords.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     big = jnp.int32(n)
 
     wants_claim = valid & ~occupied
-    claim = jnp.full((num_slots,), big, jnp.int32).at[slot].min(
-        jnp.where(wants_claim, idx, big), mode="drop"
+    claim = BM.table_min(
+        jnp.full((num_slots,), big, jnp.int32), slot, jnp.where(wants_claim, idx, big)
     )
-    winner_idx = claim[slot]  # (n,) index of the claiming point for my slot
+    winner_idx = BM.gather_rows(claim, slot)  # (n,) claiming point per slot
     claim_won = wants_claim & (winner_idx < big)
     # my insertion is accepted if the winning claimant shares my voxel coords
-    winner_coords = coords[jnp.where(winner_idx < big, winner_idx, 0)]
+    winner_coords = BM.gather_rows(coords, jnp.where(winner_idx < big, winner_idx, 0))
     claim_ok = claim_won & jnp.all(winner_coords == coords, axis=-1)
 
     accept = valid & ((occupied & same_key) | claim_ok)
@@ -187,9 +189,11 @@ def insert_stats(m: VoxelHashMap, pc: PointCloud) -> Tuple[VoxelHashMap, InsertS
     row = 4 + 3 * K
     n = pc.capacity
 
+    from mola_lidar_odometry_tpu.ops import batched_mem as BM
+
     coords = voxel_coords(pc.xyz, m.voxel_size)  # (n, 3)
     slot = voxel_hash(coords, V)  # (n,)
-    g4 = m.data[slot, :4]  # ONE gather of [key3|count] per point
+    g4 = BM.gather_rows(m.data[:, :4], slot)  # ONE gather of [key3|count]/pt
     same_key = jnp.all(g4[:, :3] == coords.astype(jnp.float32), axis=-1)
     cnt_at = g4[:, 3]
     accept, claim_ok = claim_slots(same_key, cnt_at > 0, coords, slot, pc.valid, V)
@@ -215,16 +219,22 @@ def insert_stats(m: VoxelHashMap, pc: PointCloud) -> Tuple[VoxelHashMap, InsertS
     oob = jnp.int32(V * row)
     # points: 3 consecutive f32 at data[slot, 4 + 3*dest]
     base_idx = jnp.where(store, slot * row + 4 + dest * 3, oob)
-    flat = flat.at[base_idx[:, None] + jnp.arange(3, dtype=jnp.int32)[None]].set(
-        pc.xyz, mode="drop"
+    flat = BM.scatter_set(
+        flat, base_idx[:, None] + jnp.arange(3, dtype=jnp.int32)[None], pc.xyz
     )
     # count: +1 per stored point
-    flat = flat.at[jnp.where(store, slot * row + 3, oob)].add(1.0, mode="drop")
+    flat = BM.scatter_add(
+        flat,
+        jnp.where(store, slot * row + 3, oob),
+        jnp.ones((n,), jnp.float32),
+    )
     # keys: only claimants write (scatter order with duplicate indices is
     # unspecified; all claim_ok points of one slot share the same coords)
     key_idx = jnp.where(claim_ok, slot * row, oob)
-    flat = flat.at[key_idx[:, None] + jnp.arange(3, dtype=jnp.int32)[None]].set(
-        coords.astype(jnp.float32), mode="drop"
+    flat = BM.scatter_set(
+        flat,
+        key_idx[:, None] + jnp.arange(3, dtype=jnp.int32)[None],
+        coords.astype(jnp.float32),
     )
     stats = InsertStats(
         collision_drops=jnp.sum(pc.valid & ~accept).astype(jnp.int32),
@@ -283,6 +293,8 @@ def capture(
     most 2x(in-align pose delta) worse than the exact in-voxel nearest —
     negligible under the robust kernel with the ~0.15 m hook bound.
     """
+    from mola_lidar_odometry_tpu.ops import batched_mem as BM
+
     V, K = m.num_slots, m.points_per_voxel
     n = queries.shape[0]
     base = voxel_coords(queries, m.voxel_size)
@@ -290,7 +302,7 @@ def capture(
     P = cand.shape[1]
     slots = voxel_hash(cand, V)  # (N, P)
 
-    g = m.data[slots.reshape(-1)].reshape(n, P, 4 + 3 * K)  # ONE gather
+    g = BM.gather_rows(m.data, slots.reshape(-1)).reshape(n, P, 4 + 3 * K)
     key_ok = jnp.all(g[..., :3] == cand.astype(jnp.float32), axis=-1)
     cnt = g[..., 3]
     live = key_ok & (cnt > 0)

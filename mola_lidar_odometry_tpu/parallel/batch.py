@@ -66,7 +66,6 @@ def make_sharded_fleet_step(spec: OdometrySpec, mesh: Mesh):
     scan0 = _dummy_scan(spec, batch)
     c_sh, s_sh = fleet_shardings(mesh, carry0, scan0)
     fstep = make_fleet_step(spec)
-    out_sh = jax.tree_util.tree_map(lambda s: s, c_sh)  # carry sharding reused
     jitted = jax.jit(fstep, in_shardings=(c_sh, s_sh), out_shardings=None)
     carry0 = jax.device_put(carry0, c_sh)
     return jitted, carry0, s_sh

@@ -68,6 +68,64 @@ def test_sharded_fleet_runs_on_mesh():
     assert out.pose_t.shape == (4, 3)
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("point_axis", [1, 2, 4])
+def test_sharded_sequence_tracks_gt(point_axis):
+    """6-step tracking sequence under fleet x point shardings with
+    per-instance accuracy asserts (VERDICT round-1 item 8): the point-axis
+    collectives must not change the answer, for any mesh shape."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from mola_lidar_odometry_tpu.oracle import relative, se3_log
+    from mola_lidar_odometry_tpu.utils import sim
+
+    mesh = pb.make_mesh(8, point_axis=point_axis)  # fleet = 8 / point_axis
+    b = mesh.shape["fleet"]
+    ov = dict(TINY)
+    ov.update(raw_capacity=4096, map_slots=1 << 13)
+    ov["layer_capacities"] = dict(TINY["layer_capacities"], raw=4096)
+    spec = spec_from_yaml(load_yaml_file(PIPELINE, env={}), **ov)
+    jitted, carry, s_sh = pb.make_sharded_fleet_step(spec, mesh)
+
+    n_steps = 6
+    traj, scans = sim.simulate_sequence(
+        n_steps, n_rings=16, n_azimuth=256, speed=2.0, noise=0.01, max_range=40.0
+    )
+    R0, t0 = traj.R[0], traj.t[0]
+    worst = 0.0
+    for k in range(n_steps):
+        xyz, times, rings, valid = scans[k]
+        scan = pb.pack_scans(
+            spec, [(xyz, times, rings, valid)] * b, [float(traj.stamps[k])] * b
+        )
+        scan = jax.device_put(scan, s_sh)
+        carry, out = jitted(carry, scan)
+        assert bool(np.asarray(out.accepted).all())
+        R_gt = R0.T @ traj.R[k]
+        t_gt = R0.T @ (traj.t[k] - t0)
+        Rb = np.asarray(out.pose_R, np.float64)
+        tb = np.asarray(out.pose_t, np.float64)
+        for i in range(b):
+            Rr, tr = relative(R_gt, t_gt, Rb[i], tb[i])
+            worst = max(worst, float(np.linalg.norm(se3_log(Rr, tr))))
+    assert worst < 0.45, f"point_axis={point_axis}: worst gauge error {worst:.3f}"  # tiny-config band ~0.37
+
+
+def test_uneven_fleet_vs_devices():
+    """fleet != n_devices: a 3-instance fleet on a 6-device (3x2) sub-mesh."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = pb.make_mesh(6, point_axis=2)
+    assert dict(mesh.shape) == {"fleet": 3, "point": 2}
+    spec = make_spec()
+    jitted, carry, s_sh = pb.make_sharded_fleet_step(spec, mesh)
+    scan = jax.device_put(rand_scans(spec, 3), s_sh)
+    carry2, out = jitted(carry, scan)
+    jax.block_until_ready(carry2)
+    assert out.pose_t.shape == (3, 3)
+    assert bool(out.accepted.all())
+
+
 def test_graft_entry_single():
     import importlib.util
 
