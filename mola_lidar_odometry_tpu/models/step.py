@@ -453,43 +453,42 @@ def make_step(spec: OdometrySpec) -> Callable[[Carry, Scan], Tuple[Carry, StepOu
             )
             maps_pre[name] = m0
 
-        # The merge + prune graph runs under lax.cond so non-keyframe scans
-        # skip the insert scatters entirely (the reference only touches the
-        # map on KF frames, LidarOdometry.cpp:1161-1206; under vmap the cond
-        # degrades to a select, same as before).
-        from mola_lidar_odometry_tpu.ops.voxel_hash import InsertStats
+        # The merge + prune graph runs UNCONDITIONALLY with masked inserts:
+        # non-keyframe scans carry ``valid=False`` points, whose scatter
+        # indices all drop (the reference only touches the map on KF frames,
+        # LidarOdometry.cpp:1161-1206 — same observable state).  A lax.cond
+        # here would not help: under vmap both branches execute anyway, and
+        # the cond's whole-table select_n cost ~3 ms/step at B=8 in the
+        # round-2 device profile.  Eviction is a rolling-slab sweep (see
+        # voxel_hash.prune_farther_than_slab) instead of the full-table
+        # column write (~12 ms/step saved).
+        maps_post = dict(maps_pre)
+        ins_stats = None
+        for op in spec.map_inserts:
+            insert_pc = layers_f.get(op.input_layer)
+            if insert_pc is None:
+                insert_pc = layers_f[spec.icp_local_layer]
+            insert_global = insert_pc._replace(
+                xyz=se3.transform(new_pose, insert_pc.xyz),
+                valid=insert_pc.valid & update_local_map,
+            )
+            maps_post[op.target_map_layer], st = maps_ops.insert_stats(
+                maps_post[op.target_map_layer],
+                insert_global,
+                sensor_origin=new_pose.t,
+                layer_def=layer_defs[op.target_map_layer],
+            )
+            ins_stats = st if ins_stats is None else ins_stats + st
+        for name, d in layer_defs.items():
+            prune_dist = d.remove_voxels_farther_than(env_map)
+            maps_post[name] = maps_ops.prune_farther_than_amortized(
+                maps_post[name], new_pose.t, prune_dist, c.frame_idx
+            )
+        m_final = maps_post
+        if ins_stats is None:
+            from mola_lidar_odometry_tpu.ops.voxel_hash import InsertStats
 
-        def do_map_update(maps_in: Dict[str, Any]):
-            maps_post = dict(maps_in)
-            stats = InsertStats.zero()
-            for op in spec.map_inserts:
-                insert_pc = layers_f.get(op.input_layer)
-                if insert_pc is None:
-                    insert_pc = layers_f[spec.icp_local_layer]
-                insert_global = insert_pc._replace(
-                    xyz=se3.transform(new_pose, insert_pc.xyz),
-                    valid=insert_pc.valid & update_local_map,
-                )
-                maps_post[op.target_map_layer], st = maps_ops.insert_stats(
-                    maps_post[op.target_map_layer],
-                    insert_global,
-                    sensor_origin=new_pose.t,
-                    layer_def=layer_defs[op.target_map_layer],
-                )
-                stats = stats + st
-            for name, d in layer_defs.items():
-                prune_dist = d.remove_voxels_farther_than(env_map)
-                maps_post[name] = maps_ops.prune_farther_than(
-                    maps_post[name], new_pose.t, prune_dist
-                )
-            return maps_post, stats
-
-        m_final, ins_stats = jax.lax.cond(
-            update_local_map,
-            do_map_update,
-            lambda ms: (ms, InsertStats.zero()),
-            maps_pre,
-        )
+            ins_stats = InsertStats.zero()
 
         icp_layer_pc = layers_f.get(spec.icp_local_layer, raw_pc)
 

@@ -33,6 +33,7 @@ data-dependent via ``lax.while_loop`` so converged frames exit early.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, NamedTuple, Optional, Tuple
@@ -268,7 +269,70 @@ def _align_fused_call(cfg, maps, layers, init_pose, prior, env, budget) -> IcpRe
     interpret = jax.default_backend() != "tpu"
     budget = jnp.asarray(budget, jnp.int32)
 
+    # Fused Pallas capture (ops/pallas_capture.py): gather + top-2 reduction
+    # in one kernel, emitting candidates already in the align kernel's
+    # planar VMEM layout.  TPU only (its interpret mode is minutes-slow; the
+    # CPU test path keeps the XLA capture, which is semantically identical).
+    import os as _os
+
+    _cap_env = _os.environ.get("MOLA_TPU_PALLAS_CAPTURE")
+    use_planar_capture = (
+        (not interpret) if _cap_env is None else _cap_env == "1"
+    )
+    from mola_lidar_odometry_tpu.ops.voxel_hash import VoxelHashMap as _VHM
+
+    mc0 = cfg.matchers[0]
+    m0 = maps.get(mc0.global_layer)
+    use_planar_capture = (
+        use_planar_capture
+        and isinstance(m0, _VHM)
+        and cfg.per_voxel_nn
+        and m0.points_per_voxel > 2
+    )
+
+    def capture_at(pose, nbr):
+        if use_planar_capture:
+            from mola_lidar_odometry_tpu.ops import pallas_capture
+
+            q = se3.transform(pose, xyz)  # identical to _capture_all's q
+            return pallas_capture.capture_planar(
+                m0.data, m0.voxel_size, q, nbr, interpret=interpret
+            )
+        cfg_n = (
+            cfg
+            if nbr == cfg.nn_neighbors
+            else dataclasses.replace(cfg, nn_neighbors=nbr)
+        )
+        return _capture_all(cfg_n, maps, layers, pose)[0]
+
     def run(cs, pose0, it0, remaining):
+        if use_planar_capture:
+            return pallas_icp.align_fused(
+                None,
+                None,
+                xyz,
+                valid,
+                pose0.R,
+                pose0.t,
+                prior.mean.R,
+                prior.mean.t,
+                prior.info,
+                thr_tab,
+                kc_tab,
+                remaining,
+                min_abs_step_trans=cfg.min_abs_step_trans,
+                min_abs_step_rot=cfg.min_abs_step_rot,
+                hook_min_trans=cfg.hook_min_trans,
+                hook_min_rot=cfg.hook_min_rot,
+                weight=mc0.weight,
+                gn_inner=cfg.gn_inner_iterations,
+                maxit_static=maxit,
+                interpret=interpret,
+                it0=it0,
+                hook_ref_R=init_pose.R,
+                hook_ref_t=init_pose.t,
+                planar=cs,
+            )
         return pallas_icp.align_fused(
             cs.pts,
             cs.mask,
@@ -295,13 +359,21 @@ def _align_fused_call(cfg, maps, layers, init_pose, prior, env, budget) -> IcpRe
             hook_ref_t=init_pose.t,
         )
 
-    cs0 = _capture_all(cfg, maps, layers, init_pose)[0]
+    cs0 = capture_at(init_pose, cfg.nn_neighbors)
     b1 = jnp.minimum(budget, _FUSED_REFRESH_AT)
     R1, t1, it1, hook1, conv1, q1 = run(cs0, init_pose, jnp.int32(0), b1)
     pose1 = Pose(R1, t1)
 
+    # The refresh capture probes only the 2x2x2 corner block: phase 2 starts
+    # within the hook bound (<= ~0.15 m) of the settled pose and the
+    # annealed threshold is small by iteration >= _FUSED_REFRESH_AT, so the
+    # half-voxel-exact 8-probe footprint loses nothing — and the (N*P)-row
+    # gather (the single most expensive instruction of the whole scan step)
+    # shrinks 3.4x on the refresh leg.
+    refresh_nbr = min(cfg.nn_neighbors, 8)
+
     def phase2(_):
-        cs1 = _capture_all(cfg, maps, layers, pose1)[0]
+        cs1 = capture_at(pose1, refresh_nbr)
         R2, t2, it2, hook2, conv2, q2 = run(cs1, pose1, it1, budget - it1)
         return R2, t2, it1 + it2, hook2, conv2, q2
 

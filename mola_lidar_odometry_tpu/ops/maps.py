@@ -150,6 +150,15 @@ def prune_farther_than(state, center, distance):
     raise TypeError(type(state))
 
 
+def prune_farther_than_amortized(state, center, distance, step_idx):
+    """Per-step eviction sweep: rolling slab for the big point-map tables,
+    full prune for the small NDT/occupancy tables (see
+    voxel_hash.prune_farther_than_slab)."""
+    if isinstance(state, voxel_hash.VoxelHashMap):
+        return voxel_hash.prune_farther_than_slab(state, center, distance, step_idx)
+    return prune_farther_than(state, center, distance)
+
+
 def is_empty(state) -> jax.Array:
     return state.is_empty()
 

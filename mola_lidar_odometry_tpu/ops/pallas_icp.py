@@ -428,7 +428,7 @@ def _make_kernel(C: int, npad: int, gn_inner: int, maxit: int):
     ),
 )
 def align_fused(
-    cand_pts: jax.Array,  # (N, C, 3) capture-once candidates (C <= 32)
+    cand_pts: jax.Array,  # (N, C, 3) capture-once candidates (C <= 64)
     cand_mask: jax.Array,  # (N, C)
     pts: jax.Array,  # (N, 3) local points (sensor frame)
     valid: jax.Array,  # (N,)
@@ -452,6 +452,9 @@ def align_fused(
     it0=None,  # () i32 — resume iteration index (mid-align recapture)
     hook_ref_R: jax.Array = None,  # original align-entry pose for the hook
     hook_ref_t: jax.Array = None,
+    planar=None,  # optional (cx, cy, cz, cm) each (C, npad) — pre-planar
+    #              candidates from ops/pallas_capture (skips the transpose;
+    #              cand_pts/cand_mask are ignored and may be None)
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Run the fused align loop.  Returns (R, t, iters, hook, converged, q);
     ``iters`` counts from ``it0`` (iterations consumed by THIS call)."""
@@ -459,8 +462,14 @@ def align_fused(
         it0 = jnp.int32(0)
     if hook_ref_R is None:
         hook_ref_R, hook_ref_t = init_R, init_t
-    n, C = cand_mask.shape
-    npad = _round_up(max(n, LANES), LANES)
+    n = pts.shape[0]
+    if planar is not None:
+        cxp, cyp, czp, cmp_ = planar
+        C, npad = cxp.shape
+        assert npad >= n and npad % LANES == 0
+    else:
+        _, C = cand_mask.shape
+        npad = _round_up(max(n, LANES), LANES)
 
     # prep in as FEW XLA ops as possible (each carries ~30-60 us issue
     # overhead on this chip): one stack+pad for the query rows, one
@@ -472,13 +481,14 @@ def align_fused(
         [(0, 4), (0, npad - n)],
     )  # (8, npad)
 
-    cand4 = jnp.concatenate(
-        [cand_pts, cand_mask.astype(jnp.float32)[..., None]], axis=-1
-    )  # (N, C, 4)
-    planes = jnp.pad(
-        jnp.transpose(cand4, (2, 1, 0)), [(0, 0), (0, 0), (0, npad - n)]
-    )  # (4, C, npad)
-    cxp, cyp, czp, cmp_ = planes[0], planes[1], planes[2], planes[3]
+    if planar is None:
+        cand4 = jnp.concatenate(
+            [cand_pts, cand_mask.astype(jnp.float32)[..., None]], axis=-1
+        )  # (N, C, 4)
+        planes = jnp.pad(
+            jnp.transpose(cand4, (2, 1, 0)), [(0, 0), (0, 0), (0, npad - n)]
+        )  # (4, C, npad)
+        cxp, cyp, czp, cmp_ = planes[0], planes[1], planes[2], planes[3]
 
     # thresholds enter pre-squared (translation) / as sin^2 (rotation, the
     # f32-stable compare — see _sin_angle2); disabled hook legs become BIG.

@@ -14,9 +14,15 @@ one (N*P)-row gather of packed rows beats separate key/count/point gathers
 by an order of magnitude (measured on v5e):
 
   ``data (V, 4 + 3K) f32``:
-    * ``[0:3]``  — voxel integer coords of the slot's occupant (exact f32)
-    * ``[3]``    — live point count (0 = empty)
-    * ``[4:]``   — point storage, xyz-interleaved
+    * ``[0:3]``      — voxel integer coords of the slot's occupant (exact f32)
+    * ``[3]``        — live point count (0 = empty)
+    * ``[4:4+K]``    — x coordinates of the K point slots (planar)
+    * ``[4+K:4+2K]`` — y coordinates
+    * ``[4+2K:]``    — z coordinates
+
+  The planar (xxx…yyy…zzz) in-row point layout makes each coordinate a
+  CONTIGUOUS lane slice of the gathered row — the fused Pallas capture
+  kernel (ops/pallas_capture.py) slices lanes without strided shuffles.
 
 Insertion is fully parallel and atomics-free:
   1. empty slots are *claimed* by scatter-min over point index (deterministic
@@ -91,7 +97,7 @@ class VoxelHashMap(NamedTuple):
     @property
     def pts(self) -> jax.Array:
         V, K = self.num_slots, self.points_per_voxel
-        return self.data[:, 4:].reshape(V, K, 3)
+        return jnp.swapaxes(self.data[:, 4:].reshape(V, 3, K), 1, 2)
 
     def num_points(self) -> jax.Array:
         return jnp.sum(self.count)
@@ -217,10 +223,12 @@ def insert_stats(m: VoxelHashMap, pc: PointCloud) -> Tuple[VoxelHashMap, InsertS
 
     flat = m.data.reshape(-1)
     oob = jnp.int32(V * row)
-    # points: 3 consecutive f32 at data[slot, 4 + 3*dest]
-    base_idx = jnp.where(store, slot * row + 4 + dest * 3, oob)
+    # points: one f32 per coordinate plane at data[slot, 4 + cK + dest]
+    base_idx = jnp.where(store, slot * row + 4 + dest, oob)
     flat = BM.scatter_set(
-        flat, base_idx[:, None] + jnp.arange(3, dtype=jnp.int32)[None], pc.xyz
+        flat,
+        base_idx[:, None] + jnp.asarray([0, K, 2 * K], jnp.int32)[None],
+        pc.xyz,
     )
     # count: +1 per stored point
     flat = BM.scatter_add(
@@ -253,6 +261,33 @@ def prune_farther_than(m: VoxelHashMap, center: jax.Array, distance) -> VoxelHas
     l1 = jnp.max(jnp.abs(centers - center), axis=-1)
     keep = (l1 <= distance) | (distance <= 0)
     return m._replace(data=m.data.at[:, 3].mul(keep.astype(jnp.float32)))
+
+
+def prune_farther_than_slab(
+    m: VoxelHashMap, center: jax.Array, distance, slab: jax.Array, n_slabs: int = 16
+) -> VoxelHashMap:
+    """Rolling-slab eviction: prune 1/``n_slabs`` of the table per call.
+
+    The full-table prune's single-lane column write costs a whole-table
+    rewrite chain on TPU (reshape + dynamic-update-slice + copies — ~12 ms
+    per step at B=8, the third-largest line of the entire scan-step
+    profile).  Sweeping one contiguous slab per step bounds the touched
+    bytes to table/``n_slabs`` while every voxel is still checked each
+    ``n_slabs`` frames — tighter than the reference's own eviction cadence
+    (``check_for_removal_every_n: 100``, pipelines/lidar3d-default.yaml),
+    so the amortization is a parity-preserving deviation (docs/parity.md).
+    """
+    V = m.num_slots
+    S = V // n_slabs
+    start = jnp.asarray(slab, jnp.int32) % n_slabs * S
+    rows = jax.lax.dynamic_slice_in_dim(m.data, start, S, 0)  # (S, row)
+    centers = (rows[:, :3] + 0.5) * m.voxel_size
+    l1 = jnp.max(jnp.abs(centers - center), axis=-1)
+    keep = ((l1 <= distance) | (distance <= 0)).astype(jnp.float32)
+    rows = jnp.concatenate(
+        [rows[:, :3], rows[:, 3:4] * keep[:, None], rows[:, 4:]], axis=1
+    )
+    return m._replace(data=jax.lax.dynamic_update_slice_in_dim(m.data, rows, start, 0))
 
 
 class CandSet(NamedTuple):
@@ -306,7 +341,10 @@ def capture(
     key_ok = jnp.all(g[..., :3] == cand.astype(jnp.float32), axis=-1)
     cnt = g[..., 3]
     live = key_ok & (cnt > 0)
-    pts4 = g[..., 4:].reshape(n, P, K, 3)
+    pts4 = jnp.stack(
+        [g[..., 4 : 4 + K], g[..., 4 + K : 4 + 2 * K], g[..., 4 + 2 * K :]],
+        axis=-1,
+    )  # (n, P, K, 3)
     jslots = jnp.arange(K, dtype=jnp.float32)
     cmask4 = live[..., None] & (jslots < cnt[..., None])  # (n, P, K)
 
