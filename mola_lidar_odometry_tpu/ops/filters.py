@@ -80,7 +80,49 @@ def decimate_voxels(
     big = jnp.int32(n)
 
     if method == "FirstPoint":
-        cand = jnp.where(pc.valid, idx, big)
+        # Sort-based: TPU scatter costs ~36 ns per scattered element while
+        # sort has a flat ~2.5 ms floor (eval/micro_gather.py), so the
+        # scatter-min claim table (~18 ms/step at B=8 in the round-2 device
+        # profile) loses to two sorts at 131k points.  Lexicographic
+        # (slot, idx) sort groups each voxel's points with the lowest input
+        # index first — run heads ARE the FirstPoint winners; a second
+        # 1-operand sort compacts winners to the front in input order.
+        T = jnp.int32(table_size)
+        key = jnp.where(pc.valid, slots, T)
+        skey, sidx = jax.lax.sort([key, idx], num_keys=2)
+        first = (
+            jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+            & (skey < T)
+        )
+        passthrough = pc.count() < min_input_points
+        winner = jnp.where(passthrough, skey < T, first)
+        out_idx = jax.lax.sort([jnp.where(winner, sidx, big)], num_keys=1)[0]
+        if out_capacity <= n:
+            out_idx = out_idx[:out_capacity]
+        else:
+            out_idx = jnp.pad(out_idx, (0, out_capacity - n), constant_values=n)
+        valid_out = out_idx < n
+        packed = jnp.concatenate(
+            [
+                pc.xyz,
+                pc.time[:, None],
+                pc.intensity[:, None],
+                pc.ring.astype(jnp.float32)[:, None],
+            ],
+            axis=-1,
+        )  # (n, 6)
+        g = jnp.where(
+            valid_out[:, None],
+            BM.gather_rows(packed, jnp.where(valid_out, out_idx, 0)),
+            0.0,
+        )
+        return PointCloud(
+            xyz=g[:, :3],
+            time=g[:, 3],
+            intensity=g[:, 4],
+            ring=g[:, 5].astype(jnp.int32),
+            valid=valid_out,
+        )
     elif method == "ClosestToAverage":
         # Pass 1: per-slot centroid via scatter-add (flat 3-lane layout so
         # the batched form stays a single flat scatter).
