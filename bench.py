@@ -115,18 +115,24 @@ def main():
             outs.iterations,
             outs.accepted,
             outs.map_collision_drops,
+            outs.n_icp_layer,
         )
 
     carry0 = pb.init_fleet_carry(spec, BATCH)
     t0 = time.time()
-    _, (q, iters, acc, cold) = run_seq(carry0, seq)
+    _, (q, iters, acc, cold, nicp) = run_seq(carry0, seq)
     jax.block_until_ready(q)
     log(f"compile+first sequence: {time.time() - t0:.1f}s")
+    # capacity-margin guard: the ICP layer must never saturate its buffer
+    # (saturation = silent truncation = the bench quietly measures less work)
+    nmax = int(np.asarray(nicp).max())
+    assert nmax < (1 << 12), f"decimated_for_icp saturated: {nmax}"
+    log(f"icp-layer occupancy: max {nmax}/{1 << 12}")
 
     best = np.inf
     for r in range(REPEATS):
         t0 = time.time()
-        _, (q, iters, acc, cold) = run_seq(pb.init_fleet_carry(spec, BATCH), seq)
+        _, (q, iters, acc, cold, nicp) = run_seq(pb.init_fleet_carry(spec, BATCH), seq)
         jax.block_until_ready(q)
         best = min(best, time.time() - t0)
         log(f"run {r}: {time.time() - t0:.2f}s")

@@ -496,7 +496,11 @@ class LidarOdometry:
         reference LidarOdometry.cpp:465-476)."""
         from mola_lidar_odometry_tpu.utils.serialization import load_metric_map
 
-        self.carry = self.carry._replace(maps=load_metric_map(path))
+        loaded = load_metric_map(path)
+        has_content = any(not bool(m.is_empty()) for m in loaded.values())
+        self.carry = self.carry._replace(
+            maps=loaded, map_has_content=jnp.asarray(has_content)
+        )
 
     def save_debug_traces(self, path: Union[str, Path]) -> None:
         if not self.traces:

@@ -94,6 +94,10 @@ class Carry(NamedTuple):
 
     last_twist: jax.Array  # (6,) motion-model twist of last frame
     has_twist: jax.Array  # () bool
+    # tracked "any map layer has content" flag: computing it from the
+    # tables (is_empty) streams the whole multi-hundred-MB table set every
+    # step (~3.3 ms/step at B=8); inserts/restarts keep this flag exact
+    map_has_content: jax.Array  # () bool
 
 
 class StepOutput(NamedTuple):
@@ -152,6 +156,7 @@ def init_carry(spec: OdometrySpec) -> Carry:
         removal_counter=jnp.int32(0),
         last_twist=jnp.zeros(6, jnp.float32),
         has_twist=jnp.asarray(False),
+        map_has_content=jnp.asarray(False),
     )
 
 
@@ -284,7 +289,7 @@ def make_step(spec: OdometrySpec) -> Callable[[Carry, Scan], Tuple[Carry, StepOu
 
         return pose, quality, iters, corr, layers_fin, init_pose
 
-    def process(c: Carry, scan: Scan) -> Tuple[Carry, StepOutput]:
+    def process(c: Carry, scan: Scan, drop: jax.Array) -> Tuple[Carry, StepOutput]:
         stamp = scan.stamp
         first_ever = c.frame_idx == 0
         first_time = jnp.where(first_ever, stamp, c.first_time)
@@ -317,6 +322,11 @@ def make_step(spec: OdometrySpec) -> Callable[[Carry, Scan], Tuple[Carry, StepOu
             obs_valid = chk.count() > spec.observation_validity.minimum_point_count
         else:
             obs_valid = jnp.asarray(True)
+        # One "this frame mutates state" predicate: invalid observation OR
+        # min-time drop.  All big-state consumers (map inserts, epoch
+        # restarts) are masked by it directly, so the end-of-step rollback
+        # select never has to touch the multi-hundred-MB map tables.
+        active = obs_valid & ~drop
 
         # ---- 7. motion model ----
         nav0 = c.nav
@@ -333,9 +343,7 @@ def make_step(spec: OdometrySpec) -> Callable[[Carry, Scan], Tuple[Carry, StepOu
             jnp.isfinite(c.last_time), stamp - c.last_time, 0.0
         )
 
-        map_empty = reduce(
-            jnp.logical_and, [maps_ops.is_empty(m) for m in c.maps.values()]
-        )
+        map_empty = ~c.map_has_content
 
         # ---- 8. first-scan seed | ICP ----
         def first_branch(_):
@@ -436,9 +444,9 @@ def make_step(spec: OdometrySpec) -> Callable[[Carry, Scan], Tuple[Carry, StepOu
         )
 
         # ---- 12. bad-first-ICP restart ----
-        restart = (~accepted) & (c.traj_len == 1)
+        restart = (~accepted) & (c.traj_len == 1) & active
         traj_len = jnp.where(restart, 0, traj_len)
-        update_local_map = update_local_map & ~restart
+        update_local_map = update_local_map & ~restart & active
 
         # ---- 13. local-map update (obs2map_merge graph over all layers) ----
         env_map = dict(env_kf)
@@ -446,7 +454,9 @@ def make_step(spec: OdometrySpec) -> Callable[[Carry, Scan], Tuple[Carry, StepOu
         maps_pre: Dict[str, Any] = {}
         for name, d in layer_defs.items():
             m0 = c.maps[name]
-            voxel_size = jnp.where(map_empty, d.voxel_size(env_map), m0.voxel_size)
+            voxel_size = jnp.where(
+                map_empty & active, d.voxel_size(env_map), m0.voxel_size
+            )
             m0 = maps_ops.set_voxel_size(m0, voxel_size)
             m0 = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(restart, a, b), maps_ops.clear(m0), m0
@@ -534,35 +544,45 @@ def make_step(spec: OdometrySpec) -> Callable[[Carry, Scan], Tuple[Carry, StepOu
             removal_counter=removal_counter,
             last_twist=nav_est.twist,
             has_twist=nav_est.valid,
+            map_has_content=(c.map_has_content | update_local_map) & ~restart,
         )
 
-        # Invalid observation: keep ALL state unchanged (reference discards
-        # the scan before any state mutation, :749-755)
-        new_carry = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(obs_valid, a, b),
-            new_carry,
+        # Inactive frame (invalid observation / min-time drop): keep ALL
+        # state unchanged (reference discards the scan before any state
+        # mutation, :749-755).  The maps are EXCLUDED from this rollback
+        # select: their update path is already masked by ``active`` (no-op
+        # scatters + unbumped epoch), and selecting over the map tables
+        # would cost a whole-table copy chain per step under vmap.
+        guarded = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(active, a, b),
+            new_carry._replace(maps=c.maps),
             c._replace(first_time=first_time),
+        )
+        new_carry = guarded._replace(maps=new_carry.maps)
+
+        # Dropped frames report the reference's "skipped" output contract.
+        drop_out = StepOutput(
+            pose_R=c.pose_R, pose_t=c.pose_t, stamp=stamp,
+            quality=jnp.float32(0.0), sigma=c.sigma, iterations=jnp.int32(0),
+            twist=c.last_twist,
+            processed=jnp.asarray(False), accepted=jnp.asarray(False),
+            kf_local=jnp.asarray(False), kf_simplemap=jnp.asarray(False),
+            sm_insert=jnp.asarray(False), map_restarted=jnp.asarray(False),
+            est_range=c.est_range,
+            n_raw=jnp.int32(0), n_icp_layer=jnp.int32(0),
+            corrections=jnp.int32(0),
+            map_collision_drops=jnp.int32(0), map_full_drops=jnp.int32(0),
+        )
+        out = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(~drop, a, b), out, drop_out
         )
         return new_carry, out
 
     def step(c: Carry, scan: Scan) -> Tuple[Carry, StepOutput]:
-        # ---- 1. min-time-between-scans drop (whole-step skip) ----
+        # ---- 1. min-time-between-scans drop (masked whole-step skip;
+        # a lax.cond would still execute both branches under vmap and add
+        # a whole-carry select over the map tables) ----
         drop = (scan.stamp - c.last_time) < spec.min_time_between_scans
-
-        def dropped(_):
-            out = StepOutput(
-                pose_R=c.pose_R, pose_t=c.pose_t, stamp=scan.stamp,
-                quality=jnp.float32(0.0), sigma=c.sigma, iterations=jnp.int32(0),
-                twist=c.last_twist,
-                processed=jnp.asarray(False), accepted=jnp.asarray(False),
-                kf_local=jnp.asarray(False), kf_simplemap=jnp.asarray(False),
-                sm_insert=jnp.asarray(False), map_restarted=jnp.asarray(False),
-                est_range=c.est_range,
-                n_raw=jnp.int32(0), n_icp_layer=jnp.int32(0), corrections=jnp.int32(0),
-                map_collision_drops=jnp.int32(0), map_full_drops=jnp.int32(0),
-            )
-            return c, out
-
-        return jax.lax.cond(drop, dropped, lambda _: process(c, scan), None)
+        return process(c, scan, drop)
 
     return step

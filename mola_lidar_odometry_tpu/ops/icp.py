@@ -296,7 +296,7 @@ def _align_fused_call(cfg, maps, layers, init_pose, prior, env, budget) -> IcpRe
 
             q = se3.transform(pose, xyz)  # identical to _capture_all's q
             return pallas_capture.capture_planar(
-                m0.data, m0.voxel_size, q, nbr, interpret=interpret
+                m0.data, m0.voxel_size, m0.epoch, q, nbr, interpret=interpret
             )
         cfg_n = (
             cfg

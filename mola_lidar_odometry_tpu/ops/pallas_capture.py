@@ -22,7 +22,7 @@ the planar ``(plane, P, npad)`` arrangement the fused align kernel
 (ops/pallas_icp.py) keeps in VMEM — no transposes outside the kernel.
 
 Data layout contract (ops/voxel_hash.py): slot rows are
-``[key3 | count | x*K | y*K | z*K]`` — each coordinate a contiguous slice.
+``[key3 | count | epoch | x*K | y*K | z*K]`` — coords are contiguous slices.
 
 Semantics match ``voxel_hash.capture(..., per_voxel_nn=True)`` exactly:
 the reference behavior served is the KD-tree NN search inside
@@ -49,11 +49,12 @@ def _round_up(x: int, m: int) -> int:
 
 def _make_kernel(K: int, P: int, TQ: int, neighbors: int):
     def kernel(sp_ref, g_ref, q_ref, out_ref):
-        # sp_ref: (1, 8) f32 SMEM [voxel_size, inv_voxel_size, ...]
-        # g_ref:  (P, TQ, 4+3K) VMEM — packed rows, all probes of tile j
+        # sp_ref: (1, 8) f32 SMEM [voxel_size, inv_voxel_size, epoch, ...]
+        # g_ref:  (P, TQ, 5+3K) VMEM — packed rows, all probes of tile j
         # q_ref:  (8, TQ) VMEM — query planes [x; y; z; pad...]
         # out_ref: (8, P, TQ) VMEM — planes [x1,y1,z1,m1,x2,y2,z2,m2]
         inv_vs = sp_ref[0, 1]
+        epoch = sp_ref[0, 2]
 
         qx = q_ref[0:1, :]  # (1, TQ)
         qy = q_ref[1:2, :]
@@ -73,11 +74,11 @@ def _make_kernel(K: int, P: int, TQ: int, neighbors: int):
 
         # STATIC unrolled probe loop: every slice below is compile-time
         for p in range(P):
-            rt = jnp.transpose(g_ref[p])  # (4+3K, TQ) — XLU transpose
+            rt = jnp.transpose(g_ref[p])  # (5+3K, TQ) — XLU transpose
             cnt = rt[3:4]
-            xs = rt[4 : 4 + K]  # (K, TQ)
-            ys = rt[4 + K : 4 + 2 * K]
-            zs = rt[4 + 2 * K : 4 + 3 * K]
+            xs = rt[5 : 5 + K]  # (K, TQ)
+            ys = rt[5 + K : 5 + 2 * K]
+            zs = rt[5 + 2 * K : 5 + 3 * K]
 
             if neighbors == 27:
                 # _OFFS27 order: dx major, dz minor
@@ -95,7 +96,7 @@ def _make_kernel(K: int, P: int, TQ: int, neighbors: int):
                 raise ValueError(neighbors)
 
             key_ok = (rt[0:1] == ex) & (rt[1:2] == ey) & (rt[2:3] == ez)
-            live = key_ok & (cnt > 0)
+            live = key_ok & (cnt > 0) & (rt[4:5] == epoch)
             kmask = live & (k_iota < cnt)
 
             dx = xs - qx
@@ -130,8 +131,9 @@ def _make_kernel(K: int, P: int, TQ: int, neighbors: int):
     jax.jit, static_argnames=("neighbors", "interpret", "tile_q")
 )
 def capture_planar(
-    data: jax.Array,  # (V, 4 + 3K) packed slot rows (planar point layout)
+    data: jax.Array,  # (V, 5 + 3K) packed slot rows (planar point layout)
     voxel_size: jax.Array,  # () f32
+    epoch: jax.Array,  # () f32 — row-liveness tag (see voxel_hash docstring)
     queries: jax.Array,  # (N, 3) world-frame query points
     neighbors: int = 27,
     interpret: bool = False,
@@ -145,7 +147,7 @@ def capture_planar(
     from mola_lidar_odometry_tpu.ops import batched_mem as BM
 
     V, R = data.shape
-    K = (R - 4) // 3
+    K = (R - 5) // 3
     n = queries.shape[0]
     TQ = min(tile_q, _round_up(max(n, 128), 128))
     npad = _round_up(max(n, TQ), TQ)
@@ -165,9 +167,10 @@ def capture_planar(
         [
             jnp.asarray(voxel_size, jnp.float32),
             1.0 / jnp.asarray(voxel_size, jnp.float32),
+            jnp.asarray(epoch, jnp.float32),
         ]
     )
-    sp = jnp.pad(sp, (0, 6)).reshape(1, 8)
+    sp = jnp.pad(sp, (0, 5)).reshape(1, 8)
 
     ntiles = npad // TQ
     out = pl.pallas_call(

@@ -13,12 +13,17 @@ fused gather — on TPU each gather instruction carries a large fixed cost, so
 one (N*P)-row gather of packed rows beats separate key/count/point gathers
 by an order of magnitude (measured on v5e):
 
-  ``data (V, 4 + 3K) f32``:
+  ``data (V, 5 + 3K) f32``:
     * ``[0:3]``      — voxel integer coords of the slot's occupant (exact f32)
     * ``[3]``        — live point count (0 = empty)
-    * ``[4:4+K]``    — x coordinates of the K point slots (planar)
-    * ``[4+K:4+2K]`` — y coordinates
-    * ``[4+2K:]``    — z coordinates
+    * ``[4]``        — epoch tag: the row is live only when it equals the
+      map's ``epoch`` scalar.  ``clear()`` is then a scalar increment —
+      crucial because the bad-first-ICP restart wipe sits on the per-step
+      path under vmap, where a real table wipe costs a whole-table select
+      chain (~6 ms/step at B=8 measured before this design).
+    * ``[5:5+K]``    — x coordinates of the K point slots (planar)
+    * ``[5+K:5+2K]`` — y coordinates
+    * ``[5+2K:]``    — z coordinates
 
   The planar (xxx…yyy…zzz) in-row point layout makes each coordinate a
   CONTIGUOUS lane slice of the gathered row — the fused Pallas capture
@@ -76,7 +81,8 @@ class VoxelHashMap(NamedTuple):
     """Fixed-capacity voxel point map (packed slot rows, device-resident)."""
 
     voxel_size: jax.Array  # () f32 — set when the map is created (dynamic var expr)
-    data: jax.Array  # (V, 4 + 3K) f32 — [key3 | count | xyz * K]
+    data: jax.Array  # (V, 5 + 3K) f32 — [key3 | count | epoch | xyz planes]
+    epoch: jax.Array  # () f32 — rows live iff their epoch lane equals this
 
     @property
     def num_slots(self) -> int:
@@ -84,7 +90,12 @@ class VoxelHashMap(NamedTuple):
 
     @property
     def points_per_voxel(self) -> int:
-        return (self.data.shape[1] - 4) // 3
+        return (self.data.shape[1] - 5) // 3
+
+    @property
+    def fresh(self) -> jax.Array:
+        """(V,) bool — rows belonging to the current epoch."""
+        return self.data[:, 4] == self.epoch
 
     @property
     def keys(self) -> jax.Array:
@@ -92,12 +103,12 @@ class VoxelHashMap(NamedTuple):
 
     @property
     def count(self) -> jax.Array:
-        return self.data[:, 3].astype(jnp.int32)
+        return jnp.where(self.fresh, self.data[:, 3], 0.0).astype(jnp.int32)
 
     @property
     def pts(self) -> jax.Array:
         V, K = self.num_slots, self.points_per_voxel
-        return jnp.swapaxes(self.data[:, 4:].reshape(V, 3, K), 1, 2)
+        return jnp.swapaxes(self.data[:, 5:].reshape(V, 3, K), 1, 2)
 
     def num_points(self) -> jax.Array:
         return jnp.sum(self.count)
@@ -106,7 +117,7 @@ class VoxelHashMap(NamedTuple):
         return jnp.sum(self.count > 0)
 
     def is_empty(self) -> jax.Array:
-        return jnp.all(self.data[:, 3] == 0)
+        return jnp.all(self.count == 0)
 
     @staticmethod
     def create(num_slots: int, points_per_voxel: int, voxel_size) -> "VoxelHashMap":
@@ -114,11 +125,12 @@ class VoxelHashMap(NamedTuple):
             raise ValueError("num_slots must be a power of two")
         return VoxelHashMap(
             voxel_size=jnp.asarray(voxel_size, jnp.float32),
-            data=jnp.zeros((num_slots, 4 + 3 * points_per_voxel), jnp.float32),
+            data=jnp.zeros((num_slots, 5 + 3 * points_per_voxel), jnp.float32),
+            epoch=jnp.float32(1.0),  # zero-filled rows are born dead
         )
 
     def clear(self) -> "VoxelHashMap":
-        return self._replace(data=self.data.at[:, 3].set(0.0))
+        return self._replace(epoch=self.epoch + 1.0)
 
 
 def claim_slots(
@@ -190,19 +202,30 @@ def insert(m: VoxelHashMap, pc: PointCloud) -> VoxelHashMap:
 
 
 def insert_stats(m: VoxelHashMap, pc: PointCloud) -> Tuple[VoxelHashMap, InsertStats]:
-    """Insert + capacity-pressure counters (see :class:`InsertStats`)."""
+    """Insert + capacity-pressure counters (see :class:`InsertStats`).
+
+    The whole table update is ONE 2D-indexed scatter-set: TPU scatters
+    carry a ~4.5 ms fixed cost per *instruction* at these table sizes
+    (eval/micro_gather.py) on top of ~5 ns per element, so the former
+    three-pass update (points set / count add / keys set) paid the floor
+    three times.  The count becomes a plain set-element by making the LAST
+    stored point of each slot write ``cnt_eff + n_stored`` (exact, order-
+    free); claimants write keys + the epoch tag; and every index set is
+    disjoint-or-equal so duplicate-order ambiguity cannot change state.
+    """
     V, K = m.num_slots, m.points_per_voxel
-    row = 4 + 3 * K
     n = pc.capacity
 
     from mola_lidar_odometry_tpu.ops import batched_mem as BM
 
     coords = voxel_coords(pc.xyz, m.voxel_size)  # (n, 3)
     slot = voxel_hash(coords, V)  # (n,)
-    g4 = BM.gather_rows(m.data[:, :4], slot)  # ONE gather of [key3|count]/pt
-    same_key = jnp.all(g4[:, :3] == coords.astype(jnp.float32), axis=-1)
-    cnt_at = g4[:, 3]
-    accept, claim_ok = claim_slots(same_key, cnt_at > 0, coords, slot, pc.valid, V)
+    g5 = BM.gather_rows(m.data[:, :5], slot)  # ONE gather of [key3|cnt|ep]/pt
+    fresh = g5[:, 4] == m.epoch
+    same_key = fresh & jnp.all(g5[:, :3] == coords.astype(jnp.float32), axis=-1)
+    occupied = fresh & (g5[:, 3] > 0)
+    cnt_at = jnp.where(fresh, g5[:, 3], 0.0)
+    accept, claim_ok = claim_slots(same_key, occupied, coords, slot, pc.valid, V)
 
     # Phase 2: per-slot arrival rank via one sort over the batch.  Sort key
     # packs (slot, idx) so ranks follow input order within a slot.
@@ -216,39 +239,63 @@ def insert_stats(m: VoxelHashMap, pc: PointCloud) -> Tuple[VoxelHashMap, InsertS
     head_pos = jnp.where(is_head, pos, 0)
     head_pos = jax.lax.associative_scan(jnp.maximum, head_pos)
     rank_sorted = pos - head_pos
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
+    # tail-of-run in sorted domain -> packed into one map-back scatter
+    is_tail = jnp.concatenate(
+        [sorted_slot[1:] != sorted_slot[:-1], jnp.ones((1,), bool)]
+    )
+    packed_rank = rank_sorted | jnp.where(is_tail, jnp.int32(1 << 30), 0)
+    packed = jnp.zeros((n,), jnp.int32).at[order].set(packed_rank)
+    rank = packed & ((1 << 30) - 1)
+    tail = packed >= (1 << 30)
 
-    dest = cnt_at.astype(jnp.int32) + rank
+    cnt_i = cnt_at.astype(jnp.int32)
+    dest = cnt_i + rank
     store = accept & (dest < K)
+    # last STORED point per slot: the tail when it stored, else the point
+    # filling the final free slot (ranks are contiguous from 0)
+    cnt_writer = store & (tail | (dest == K - 1))
 
-    flat = m.data.reshape(-1)
-    oob = jnp.int32(V * row)
-    # points: one f32 per coordinate plane at data[slot, 4 + cK + dest]
-    base_idx = jnp.where(store, slot * row + 4 + dest, oob)
-    flat = BM.scatter_set(
-        flat,
-        base_idx[:, None] + jnp.asarray([0, K, 2 * K], jnp.int32)[None],
-        pc.xyz,
+    R = 5 + 3 * K
+    oob = jnp.int32(V * R)
+    f32 = jnp.float32
+    p_base = slot * R
+    # flat element indices (2D (row, col) scatters lower to a serialized
+    # whole-table transpose + loop on TPU — measured 35 ms/step; the flat
+    # form runs at the normal ~5 ns/elem scatter rate)
+    idx = jnp.stack(
+        [
+            jnp.where(store, p_base + 5 + dest, oob),  # x
+            jnp.where(store, p_base + 5 + K + dest, oob),  # y
+            jnp.where(store, p_base + 5 + 2 * K + dest, oob),  # z
+            jnp.where(claim_ok, p_base + 0, oob),  # key x
+            jnp.where(claim_ok, p_base + 1, oob),  # key y
+            jnp.where(claim_ok, p_base + 2, oob),  # key z
+            jnp.where(claim_ok, p_base + 4, oob),  # epoch tag
+            jnp.where(cnt_writer, p_base + 3, oob),  # count
+        ],
+        axis=-1,
+    )  # (n, 8)
+    cnt_new = jnp.minimum(cnt_at + jnp.asarray(rank + 1, f32), f32(K))
+    vals = jnp.stack(
+        [
+            pc.xyz[:, 0],
+            pc.xyz[:, 1],
+            pc.xyz[:, 2],
+            coords[:, 0].astype(f32),
+            coords[:, 1].astype(f32),
+            coords[:, 2].astype(f32),
+            jnp.broadcast_to(m.epoch, (n,)),
+            cnt_new,
+        ],
+        axis=-1,
     )
-    # count: +1 per stored point
-    flat = BM.scatter_add(
-        flat,
-        jnp.where(store, slot * row + 3, oob),
-        jnp.ones((n,), jnp.float32),
-    )
-    # keys: only claimants write (scatter order with duplicate indices is
-    # unspecified; all claim_ok points of one slot share the same coords)
-    key_idx = jnp.where(claim_ok, slot * row, oob)
-    flat = BM.scatter_set(
-        flat,
-        key_idx[:, None] + jnp.arange(3, dtype=jnp.int32)[None],
-        coords.astype(jnp.float32),
-    )
+    data = BM.scatter_set(m.data.reshape(-1), idx, vals).reshape(V, R)
+
     stats = InsertStats(
         collision_drops=jnp.sum(pc.valid & ~accept).astype(jnp.int32),
         full_drops=jnp.sum(accept & (dest >= K)).astype(jnp.int32),
     )
-    return m._replace(data=flat.reshape(V, row)), stats
+    return m._replace(data=data), stats
 
 
 def prune_farther_than(m: VoxelHashMap, center: jax.Array, distance) -> VoxelHashMap:
@@ -337,12 +384,12 @@ def capture(
     P = cand.shape[1]
     slots = voxel_hash(cand, V)  # (N, P)
 
-    g = BM.gather_rows(m.data, slots.reshape(-1)).reshape(n, P, 4 + 3 * K)
+    g = BM.gather_rows(m.data, slots.reshape(-1)).reshape(n, P, 5 + 3 * K)
     key_ok = jnp.all(g[..., :3] == cand.astype(jnp.float32), axis=-1)
     cnt = g[..., 3]
-    live = key_ok & (cnt > 0)
+    live = key_ok & (cnt > 0) & (g[..., 4] == m.epoch)
     pts4 = jnp.stack(
-        [g[..., 4 : 4 + K], g[..., 4 + K : 4 + 2 * K], g[..., 4 + 2 * K :]],
+        [g[..., 5 : 5 + K], g[..., 5 + K : 5 + 2 * K], g[..., 5 + 2 * K :]],
         axis=-1,
     )  # (n, P, K, 3)
     jslots = jnp.arange(K, dtype=jnp.float32)
