@@ -172,3 +172,29 @@ def test_gnss_before_first_scan_epoch_stamps():
     assert kfs and kfs[0].gnss is not None
     assert abs(kfs[0].gnss["lat"] - 40.0) < 1e-9
     assert kfs[0].stamp == pytest.approx(base, abs=1e-3)
+
+
+def test_fast_probe_mode_tracks(monkeypatch):
+    """8-probe capture (MOLA_TPU_NN_NEIGHBORS=8, the bench default): with
+    top-2-per-voxel capture + the mid-align refresh, the 2x2x2 probe block
+    must track as well as the full 3x3x3 (measured equal-or-better:
+    worst 0.2833 vs 0.2847 on this sequence).  Guards the fast mode the
+    throughput headline is measured in."""
+    monkeypatch.setenv("MOLA_TPU_NN_NEIGHBORS", "8")
+    traj, scans = sim.simulate_sequence(n_frames=12, dt=0.1, speed=2.0, noise=0.01)
+    lo = LidarOdometry.from_yaml_file(PIPELINE, env={}, **TEST_OVERRIDES)
+    assert lo.spec.icp_with_vel.nn_neighbors == 8
+    G0 = se3.Pose(
+        jnp.asarray(traj.R[0], jnp.float32), jnp.asarray(traj.t[0], jnp.float32)
+    )
+    worst = 0.0
+    for k, (xyz, times, rings, valid) in enumerate(scans):
+        out = lo.on_lidar_scan(
+            xyz[valid], float(traj.stamps[k]), times=times[valid], ring=rings[valid]
+        )
+        Gk = se3.Pose(
+            jnp.asarray(traj.R[k], jnp.float32), jnp.asarray(traj.t[k], jnp.float32)
+        )
+        rel = se3.relative(se3.relative(G0, Gk), se3.Pose(out.pose_R, out.pose_t))
+        worst = max(worst, float(jnp.linalg.norm(se3.se3_log(rel))))
+    assert worst < 0.3, f"8-probe mode tracking error {worst:.3f}"
