@@ -38,9 +38,9 @@ PIPELINES = [
 ]
 
 CAPS = dict(
-    raw_capacity=1 << 15,  # 32x1024 scan = 32768 points exactly
+    raw_capacity=1 << 17,  # 64x2048 scan = 131072 points exactly
     map_slots=1 << 17,
-    layer_capacities={"raw": 1 << 15},  # others take filter_graph defaults
+    layer_capacities={"raw": 1 << 17},  # others take filter_graph defaults
 )
 
 
@@ -56,16 +56,20 @@ def main():
     from mola_lidar_odometry_tpu.ops import se3
     from mola_lidar_odometry_tpu.utils import sim
 
-    traj, scans = sim.simulate_sequence(
-        args.frames,
-        n_rings=32,
-        n_azimuth=1024,
-        speed=8.0,
-        noise=0.01,
-        max_range=80.0,
-        fov_up_deg=3.0,
-        fov_down_deg=-24.0,
-    )
+    # bench.py's exact world/sensor: dense street geometry + an HDL-64-like
+    # scanner — the shared sequence must be one the real-street constants in
+    # the extras configs were tuned for, AND dense enough to support 8 m/s
+    # (a 32-ring scan in this narrow fov cannot track that speed; measured)
+    world = sim.make_world(0, extent=60.0, n_boxes=100, n_plates=50)
+    traj = sim.make_trajectory(args.frames, dt=0.1, seed=1, speed=8.0)
+    scans = [
+        sim.simulate_scan(
+            world, traj.R[k], traj.t[k], traj.twists[k],
+            n_rings=64, n_azimuth=2048, fov_up_deg=3.0, fov_down_deg=-24.0,
+            spin_period=0.1, noise=0.01, max_range=80.0, seed=1000 + k,
+        )
+        for k in range(args.frames)
+    ]
     rng = np.random.default_rng(0)
     intens = [rng.uniform(0, 100, s[0].shape[0]).astype(np.float32) for s in scans]
     G0 = se3.Pose(

@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="preload an existing local map (multi-session)")
     p.add_argument("--viz-snapshot", default=None,
                    help="render a top-down PNG snapshot at the end of the run")
+    p.add_argument("--live-viz", type=int, default=None, metavar="PORT",
+                   help="serve a live self-refreshing view (map snapshot, "
+                        "stats, pause/resume/save controls) on this port "
+                        "(the reference GUI's HTTP analogue; 0 = any port)")
+    p.add_argument("--live-viz-every", type=int, default=10,
+                   help="re-render the live snapshot every N frames")
 
     # input datasets (exactly one)
     g = p.add_argument_group("input dataset (choose one)")
@@ -140,6 +146,14 @@ def main(argv=None) -> int:
         tum.save_tum(gt_path, gt.stamps, gt.t, gt.quat_xyzw)
         print(f"Ground truth trajectory: {len(gt.stamps)} poses -> {gt_path}")
 
+    viewer = None
+    if args.live_viz is not None:
+        from mola_lidar_odometry_tpu.utils.live_viz import LiveViewer
+
+        viewer = LiveViewer(lo, every_n=args.live_viz_every)
+        port = viewer.start(port=args.live_viz)
+        print(f"Live view: http://127.0.0.1:{port}/")
+
     n = len(dataset)
     first = args.skip_first_n
     last = min(n, first + args.only_first_n) if args.only_first_n else n
@@ -150,6 +164,8 @@ def main(argv=None) -> int:
             fr.xyz, fr.stamp, times=fr.times, intensity=fr.intensity, ring=fr.ring,
             keep_scan_for_simplemap=bool(args.output_simplemap),
         )
+        if viewer is not None:
+            viewer.on_frame()
         if args.verbosity in ("INFO", "DEBUG") and (
             i == first or (i - first) % 20 == 19 or i + 1 == last
         ):
@@ -172,6 +188,9 @@ def main(argv=None) -> int:
     if args.output_local_map:
         lo.save_local_map(args.output_local_map)
         print(f"Local map -> {args.output_local_map}")
+    if viewer is not None:
+        viewer.render()  # final frame stays visible until shutdown
+        viewer.stop()
     if args.viz_snapshot:
         from mola_lidar_odometry_tpu.utils.viz import render_snapshot
 

@@ -68,5 +68,8 @@ def render_snapshot(
     ax2.axis("off")
     ax2.text(0.02, 0.98, "\n".join(lines), va="top", family="monospace", fontsize=10)
     fig.tight_layout()
-    fig.savefig(str(path), dpi=110)
+    if hasattr(path, "write"):  # file-like (the live viewer's PNG buffer)
+        fig.savefig(path, dpi=110, format="png")
+    else:
+        fig.savefig(str(path), dpi=110)
     plt.close(fig)
