@@ -8,8 +8,8 @@ The world/sensor are street-scale on purpose: the extras configs carry the
 reference's real-street constants (5 m minimum range, +-5 m bounding-box
 vehicle cull, 0.75-1.5 m decimation, near/far split) — reference
 pipelines/extras/lidar3d-near-far.yaml:177-353 — so a toy 25 m world with a
-sparse 16-ring sensor starves them.  A 60 m world with a 32x1024 scanner at
-8 m/s gives those constants the geometry they were tuned for.
+sparse 16-ring sensor starves them.  The sequence is bench.py's exact
+world and HDL-64-like sensor at up to 8 m/s.
 
 Usage: python eval/cross_pipeline.py [--frames 12] [--pipelines a.yaml ...]
 """
@@ -48,6 +48,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--pipelines", nargs="*", default=PIPELINES)
+    ap.add_argument("--accel", type=float, default=3.0)
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -61,7 +62,7 @@ def main():
     # the extras configs were tuned for, AND dense enough to support 8 m/s
     # (a 32-ring scan in this narrow fov cannot track that speed; measured)
     world = sim.make_world(0, extent=60.0, n_boxes=100, n_plates=50)
-    traj = sim.make_trajectory(args.frames, dt=0.1, seed=1, speed=8.0)
+    traj = sim.make_trajectory(args.frames, dt=0.1, seed=1, speed=8.0, accel=args.accel)
     scans = [
         sim.simulate_scan(
             world, traj.R[k], traj.t[k], traj.twists[k],

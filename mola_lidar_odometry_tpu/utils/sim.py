@@ -115,7 +115,9 @@ def _ray_world(origins: np.ndarray, dirs: np.ndarray, world: SimWorld, max_range
         t_g = (world.ground_z - origins[:, 2]) / dz
         hx = origins[:, 0] + t_g * dirs[:, 0]
         hy = origins[:, 1] + t_g * dirs[:, 1]
-        gz = world.ground_z + _ground_height(np.nan_to_num(hx), np.nan_to_num(hy))
+        hx = np.clip(np.nan_to_num(hx), -1e6, 1e6)  # misses produce inf
+        hy = np.clip(np.nan_to_num(hy), -1e6, 1e6)
+        gz = world.ground_z + _ground_height(hx, hy)
         t_g = (gz - origins[:, 2]) / dz
     ok = (dz < -1e-9) & (t_g > 0.05)
     t_best = np.where(ok, np.minimum(t_best, t_g), t_best)
