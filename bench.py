@@ -101,7 +101,7 @@ def main():
         map_slots=1 << 17,
         layer_capacities={
             "raw": RAW_CAP,
-            "decimated_for_map_raw": 1 << 14,
+            "decimated_for_map_raw": 13312,
             # measured peak ICP-layer occupancy on these scans: 2163 —
             # the capture gather (the step's most expensive instruction)
             # scales with CAPACITY, and padded queries are NOT free
@@ -109,7 +109,10 @@ def main():
             # margin, saturation asserted after the run.
             "decimated_for_icp_skewed": 2560,
             "decimated_for_icp": 2560,
-            "decimated_for_map": 1 << 14,
+            # measured peak map-layer occupancy 11.2k -> 13312 = 1.18x
+            # margin; the single-instruction insert (the step's top cost
+            # line after round 2's capture work) scales with this CAPACITY
+            "decimated_for_map": 13312,
         },
         kf_ring_capacity=256,
     )
@@ -130,11 +133,12 @@ def main():
             outs.accepted,
             outs.map_collision_drops,
             outs.n_icp_layer,
+            outs.n_map_layer,
         )
 
     carry0 = pb.init_fleet_carry(spec, BATCH)
     t0 = time.time()
-    carry_end, (q, iters, acc, cold, nicp) = run_seq(carry0, seq)
+    carry_end, (q, iters, acc, cold, nicp, nmap) = run_seq(carry0, seq)
     jax.block_until_ready(q)
     log(f"compile+first sequence: {time.time() - t0:.1f}s")
     # capacity-margin guard: the ICP layer must never saturate its buffer
@@ -155,12 +159,14 @@ def main():
     assert gt_err < 0.5, "GT drift regressed: %.3f" % gt_err
     log(f"final-pose GT error: {gt_err:.3f}")
     assert nmax < 2560, f"decimated_for_icp saturated: {nmax}"
-    log(f"icp-layer occupancy: max {nmax}/2560")
+    mmax = int(np.asarray(nmap).max())
+    assert mmax < 13312, f"decimated_for_map saturated: {mmax}"
+    log(f"icp-layer occupancy: max {nmax}/2560; map-layer: {mmax}/13312")
 
     best = np.inf
     for r in range(REPEATS):
         t0 = time.time()
-        _, (q, iters, acc, cold, nicp) = run_seq(pb.init_fleet_carry(spec, BATCH), seq)
+        _, (q, iters, acc, cold, nicp, nmap) = run_seq(pb.init_fleet_carry(spec, BATCH), seq)
         jax.block_until_ready(q)
         best = min(best, time.time() - t0)
         log(f"run {r}: {time.time() - t0:.2f}s")

@@ -119,6 +119,7 @@ class StepOutput(NamedTuple):
     est_range: jax.Array
     n_raw: jax.Array  # i32 valid raw points
     n_icp_layer: jax.Array  # i32 valid points in the ICP layer
+    n_map_layer: jax.Array  # i32 valid points in the first map-insert layer
     corrections: jax.Array  # i32 twist re-opt corrections
     # capacity-pressure counters (SURVEY §7 hard-part #1): hash-slot
     # collision drops and per-voxel-cap drops summed over this step's map
@@ -501,6 +502,12 @@ def make_step(spec: OdometrySpec) -> Callable[[Carry, Scan], Tuple[Carry, StepOu
             ins_stats = InsertStats.zero()
 
         icp_layer_pc = layers_f.get(spec.icp_local_layer, raw_pc)
+        if spec.map_inserts:
+            map_layer_pc = layers_f.get(
+                spec.map_inserts[0].input_layer, icp_layer_pc
+            )
+        else:
+            map_layer_pc = icp_layer_pc
 
         out = StepOutput(
             pose_R=new_pose.R,
@@ -519,6 +526,7 @@ def make_step(spec: OdometrySpec) -> Callable[[Carry, Scan], Tuple[Carry, StepOu
             est_range=est_range,
             n_raw=raw_pc.count().astype(jnp.int32),
             n_icp_layer=icp_layer_pc.count().astype(jnp.int32),
+            n_map_layer=map_layer_pc.count().astype(jnp.int32),
             corrections=corrections,
             map_collision_drops=ins_stats.collision_drops,
             map_full_drops=ins_stats.full_drops,
@@ -570,6 +578,7 @@ def make_step(spec: OdometrySpec) -> Callable[[Carry, Scan], Tuple[Carry, StepOu
             sm_insert=jnp.asarray(False), map_restarted=jnp.asarray(False),
             est_range=c.est_range,
             n_raw=jnp.int32(0), n_icp_layer=jnp.int32(0),
+            n_map_layer=jnp.int32(0),
             corrections=jnp.int32(0),
             map_collision_drops=jnp.int32(0), map_full_drops=jnp.int32(0),
         )
