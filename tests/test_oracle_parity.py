@@ -98,3 +98,34 @@ def test_oracle_tracks_ground_truth(both_engines):
         Rr, tr = relative(R_gt, t_gt, Ro, to)
         worst = max(worst, float(np.linalg.norm(se3_log(Rr, tr))))
     assert worst < 0.25, f"oracle drifted from GT: {worst:.4f}"
+
+
+@pytest.mark.slow
+def test_high_speed_parity():
+    """TPU vs oracle on a street-scale fast sequence (8 m/s target, the
+    bench regime): the round-2 simulator realism work was validated by the
+    two engines drifting IDENTICALLY on the old aliased world — this keeps
+    that equivalence gated on the fixed world at speed."""
+    n = 8
+    world = sim.make_world(0, extent=60.0, n_boxes=60, n_plates=30)
+    traj = sim.make_trajectory(n, dt=0.1, seed=1, speed=8.0)
+    scans = [
+        sim.simulate_scan(
+            world, traj.R[k], traj.t[k], traj.twists[k],
+            n_rings=32, n_azimuth=1024, fov_up_deg=10.0, fov_down_deg=-25.0,
+            spin_period=0.1, noise=0.01, max_range=80.0, seed=100 + k,
+        )
+        for k in range(n)
+    ]
+    cfg = load_yaml_file(PIPELINE, env={})
+    spec = spec_from_yaml(cfg, **TEST_OVERRIDES)
+    oracle = OracleOdometry(spec)
+    lo = LidarOdometry.from_yaml_file(PIPELINE, env={}, **TEST_OVERRIDES)
+    worst = 0.0
+    for k, (xyz, times, rings, valid) in enumerate(scans):
+        stamp = float(traj.stamps[k])
+        out = lo.on_lidar_scan(xyz[valid], stamp=stamp, times=times[valid], ring=rings[valid])
+        o = oracle.step(xyz[valid].astype(np.float64), times[valid].astype(np.float64), stamp)
+        Rr, tr = relative(o.R, o.t, np.asarray(out.pose_R, np.float64), np.asarray(out.pose_t, np.float64))
+        worst = max(worst, float(np.linalg.norm(se3_log(Rr, tr))))
+    assert worst < 0.1, f"high-speed TPU-vs-oracle divergence {worst:.4f}"
