@@ -382,18 +382,70 @@ class RawlogDataset(OfflineDataset):  # pragma: no cover - optional dep
             ) from e
 
 
-class Rosbag2Dataset(OfflineDataset):  # pragma: no cover - optional dep
-    """rosbag2 (.mcap/.db3) reader — requires rosbag2 python bindings."""
+class Rosbag2Dataset(OfflineDataset):
+    """rosbag2 reader (reference input module mola_input_rosbag2).
 
-    def __init__(self, path: str, topic: str = "/points"):
-        try:
-            import rosbag2_py  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "rosbag2 input needs 'rosbag2_py', which is not installed in "
-                "this environment (reference gates this behind "
-                "HAVE_MOLA_INPUT_ROSBAG2)"
-            ) from e
+    ``.db3`` bags are read NATIVELY (pure-Python SQLite + CDR decoding of
+    sensor_msgs/PointCloud2 — utils/rosbag2.py), so this path runs and is
+    tested in this environment.  ``.mcap`` bags still need the optional
+    ``mcap`` package (absent here; reference gates the whole module behind
+    HAVE_MOLA_INPUT_ROSBAG2)."""
+
+    def __init__(self, path: str, topic: Optional[str] = None):
+        if str(path).endswith(".mcap"):  # pragma: no cover - optional dep
+            try:
+                import mcap  # noqa: F401
+            except ImportError as e:
+                raise ImportError(
+                    "mcap bags need the 'mcap' package (not installed); "
+                    "convert to .db3 or install it"
+                ) from e
+            raise NotImplementedError("mcap reading requires the mcap package")
+        from mola_lidar_odometry_tpu.utils.rosbag2 import Db3Reader
+
+        self.reader = Db3Reader(str(path), topic)
+
+    def __len__(self) -> int:
+        return len(self.reader)
+
+    def get(self, i: int) -> LidarFrame:
+        bag_stamp, msg = self.reader.message(i)
+        ch = msg.records()
+        xyz = np.stack(
+            [np.asarray(ch["x"], np.float32), np.asarray(ch["y"], np.float32),
+             np.asarray(ch["z"], np.float32)],
+            axis=-1,
+        )
+        finite = np.isfinite(xyz).all(axis=1)
+        times = None
+        for name in ("t", "time", "timestamp", "stamp", "time_stamp"):
+            if name in ch:
+                times = np.asarray(ch[name], np.float64)
+                # vendors ship absolute ns / absolute s / relative s; reduce
+                # to per-point RELATIVE seconds (FilterAdjustTimestamps
+                # re-bases them anyway, reference pipelines do the same)
+                if times.size and times.max() > 1e12:  # nanoseconds epoch
+                    times = times * 1e-9
+                if times.size:
+                    times = times - times.min()
+                times = times.astype(np.float32)
+                break
+        ring = (
+            np.asarray(ch["ring"], np.int32) if "ring" in ch else None
+        )
+        inten = (
+            np.asarray(ch["intensity"], np.float32)
+            if "intensity" in ch
+            else None
+        )
+        stamp = msg.stamp if msg.stamp > 0 else bag_stamp
+        return LidarFrame(
+            stamp=float(stamp),
+            xyz=xyz[finite],
+            times=None if times is None else times[finite],
+            intensity=None if inten is None else inten[finite],
+            ring=None if ring is None else ring[finite],
+        )
 
 
 class SimDataset(OfflineDataset):
