@@ -40,6 +40,10 @@ def main() -> int:
     ap.add_argument("--map-slots", type=int, default=1 << 17)
     args = ap.parse_args()
 
+    # 8-probe capture: the bench default, measured accuracy-neutral
+    # (docs/benchmarks.md) — env wins if the caller sets it explicitly
+    os.environ.setdefault("MOLA_TPU_NN_NEIGHBORS", "8")
+
     import jax
 
     here = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
@@ -70,15 +74,26 @@ def main() -> int:
     )
 
     B, F = args.batch, args.frames
-    print(f"simulating {B} independent sequences x {F} frames ...", file=sys.stderr)
-    trajs, stacks = [], []
-    for b in range(B):
-        traj, scans = sim.simulate_sequence(
-            F, world_seed=b, traj_seed=100 + b,
-            n_rings=args.rings, n_azimuth=args.azimuth,
-        )
-        trajs.append(traj)
-        stacks.append(scans)
+    import pickle
+
+    cache = os.path.join(
+        here, f".fleet_cache_{B}x{F}_{args.rings}x{args.azimuth}.pkl"
+    )
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            trajs, stacks = pickle.load(f)
+    else:
+        print(f"simulating {B} independent sequences x {F} frames ...", file=sys.stderr)
+        trajs, stacks = [], []
+        for b in range(B):
+            traj, scans = sim.simulate_sequence(
+                F, world_seed=b, traj_seed=100 + b,
+                n_rings=args.rings, n_azimuth=args.azimuth,
+            )
+            trajs.append(traj)
+            stacks.append(scans)
+        with open(cache, "wb") as f:
+            pickle.dump((trajs, stacks), f)
 
     per_step = [
         pb.pack_scans(
