@@ -48,8 +48,18 @@ def voxel_hash(coords: jax.Array, table_size: int) -> jax.Array:
     """Spatial hash of (..., 3) i32 voxel coords into [0, table_size).
 
     table_size must be a power of two.
+
+    POLYNOMIAL chaining, not xor-of-multiplies: for any odd ``a``,
+    ``a ^ -a == -2``, so xoring two sign-flipped odd products always
+    collides — the classic ``x*HX ^ y*HY ^ z*HZ`` mix mapped EVERY voxel
+    pair ``(x, y, z)``/``(-x, -y, z)`` with odd x, y to the same slot (a
+    dense systematic collision family straddling the origin, where every
+    trajectory starts).  The Horner-style chain below has no such family;
+    the final shift-xor folds high-order entropy into the masked bits.
     """
-    h = coords[..., 0] * _HX ^ coords[..., 1] * _HY ^ coords[..., 2] * _HZ
+    h = (coords[..., 0] * _HX + coords[..., 1]) * _HY + coords[..., 2]
+    h = h * _HZ
+    h = h ^ (h >> 16)
     return (h & jnp.int32(table_size - 1)).astype(jnp.int32)
 
 

@@ -201,17 +201,40 @@ def insert(m: VoxelHashMap, pc: PointCloud) -> VoxelHashMap:
     return insert_stats(m, pc)[0]
 
 
+def _h2(coords: jax.Array) -> jax.Array:
+    """Secondary 32-bit spatial hash: compares voxel identities in the
+    sorted insert domain without carrying the 3 coordinate lanes through
+    the sort.  POLYNOMIAL chaining with constants independent from the
+    slot hash's — xor-combining products is forbidden here (for odd ``a``,
+    ``a ^ -a == -2``, so sign-flipped odd products always collide; the
+    family bug this caused stored points into wrong-keyed rows).  Residual
+    collision odds are the generic ~2^-31 per pair — far below the
+    point-drop noise floor."""
+    h = (coords[..., 0] * jnp.int32(-1640531527) + coords[..., 1]) * jnp.int32(
+        0x2545F491
+    ) + coords[..., 2]
+    h = h * jnp.int32(0x27D4EB2F)
+    return h ^ (h >> 15)
+
+
 def insert_stats(m: VoxelHashMap, pc: PointCloud) -> Tuple[VoxelHashMap, InsertStats]:
     """Insert + capacity-pressure counters (see :class:`InsertStats`).
 
-    The whole table update is ONE 2D-indexed scatter-set: TPU scatters
-    carry a ~4.5 ms fixed cost per *instruction* at these table sizes
-    (eval/micro_gather.py) on top of ~5 ns per element, so the former
-    three-pass update (points set / count add / keys set) paid the floor
-    three times.  The count becomes a plain set-element by making the LAST
-    stored point of each slot write ``cnt_eff + n_stored`` (exact, order-
-    free); claimants write keys + the epoch tag; and every index set is
-    disjoint-or-equal so duplicate-order ambiguity cannot change state.
+    Fully sort-fused: ONE lexicographic (slot, idx) sort groups each
+    slot's valid points with the first-come point at the run head, which
+    IS the reference's claim winner for empty slots — so claim
+    resolution, per-slot arrival ranks (segmented prefix sums), the
+    count-writer election, and the stats all happen in the sorted domain
+    with no claim table, no winner gathers, and no rank map-back scatter
+    (together ~2.6 ms/step at B=8 before this fold).  Voxel identities in
+    the sorted domain compare via the secondary hash :func:`_h2`.
+
+    The table update itself stays ONE flat scatter-set: TPU scatters
+    carry a ~4.5 ms fixed cost per *instruction* on top of ~5 ns/element
+    (eval/micro_gather.py), and the count is a plain set-element written
+    by the LAST stored point of each slot (``cnt_eff + n_stored`` —
+    exact, order-free; every index set is disjoint-or-equal so duplicate
+    scatter ordering cannot change state).
     """
     V, K = m.num_slots, m.points_per_voxel
     n = pc.capacity
@@ -220,45 +243,65 @@ def insert_stats(m: VoxelHashMap, pc: PointCloud) -> Tuple[VoxelHashMap, InsertS
 
     coords = voxel_coords(pc.xyz, m.voxel_size)  # (n, 3)
     slot = voxel_hash(coords, V)  # (n,)
-    g5 = BM.gather_rows(m.data[:, :5], slot)  # ONE gather of [key3|cnt|ep]/pt
-    fresh = g5[:, 4] == m.epoch
-    same_key = fresh & jnp.all(g5[:, :3] == coords.astype(jnp.float32), axis=-1)
-    occupied = fresh & (g5[:, 3] > 0)
-    cnt_at = jnp.where(fresh, g5[:, 3], 0.0)
-    accept, claim_ok = claim_slots(same_key, occupied, coords, slot, pc.valid, V)
+    h2 = _h2(coords)
 
-    # Phase 2: per-slot arrival rank via one sort over the batch.  Sort key
-    # packs (slot, idx) so ranks follow input order within a slot.
-    sort_key = jnp.where(accept, slot, jnp.int32(V))
-    order = jnp.argsort(sort_key, stable=True)  # accepted points grouped by slot
-    sorted_slot = sort_key[order]
+    # ONE sort: (slot | V-for-invalid, input idx) lexicographic, h2 rides
+    sort_key = jnp.where(pc.valid, slot, jnp.int32(V))
     pos = jnp.arange(n, dtype=jnp.int32)
-    is_head = jnp.concatenate(
-        [jnp.ones((1,), bool), sorted_slot[1:] != sorted_slot[:-1]]
-    )
-    head_pos = jnp.where(is_head, pos, 0)
-    head_pos = jax.lax.associative_scan(jnp.maximum, head_pos)
-    rank_sorted = pos - head_pos
-    # tail-of-run in sorted domain -> packed into one map-back scatter
-    is_tail = jnp.concatenate(
-        [sorted_slot[1:] != sorted_slot[:-1], jnp.ones((1,), bool)]
-    )
-    packed_rank = rank_sorted | jnp.where(is_tail, jnp.int32(1 << 30), 0)
-    packed = jnp.zeros((n,), jnp.int32).at[order].set(packed_rank)
-    rank = packed & ((1 << 30) - 1)
-    tail = packed >= (1 << 30)
+    skey, sidx, sh2 = jax.lax.sort([sort_key, pos, h2], num_keys=2)
+    s_valid = skey < V
+    s_slot = jnp.where(s_valid, skey, 0)
+
+    # row state gathered in the SORTED domain (same single gather as before)
+    g5 = BM.gather_rows(m.data[:, :5], s_slot)  # [key3|cnt|epoch] per point
+    fresh = s_valid & (g5[:, 4] == m.epoch)
+    rowkey_h2 = _h2(g5[:, :3].astype(jnp.int32))
+    occupied = fresh & (g5[:, 3] > 0)
+    same_key = occupied & (rowkey_h2 == sh2)
+    cnt_at = jnp.where(fresh, g5[:, 3], 0.0)
+
+    is_head = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    is_tail = jnp.concatenate([skey[1:] != skey[:-1], jnp.ones((1,), bool)])
+
+    # head h2 propagated through each run (segmented copy-first scan):
+    # the run head is the lowest-input-index valid point of the slot —
+    # exactly the reference's first-come claimant for an empty slot
+    def seg_first(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, va), fa | fb
+
+    head_h2, _ = jax.lax.associative_scan(seg_first, (sh2, is_head))
+
+    accept = s_valid & jnp.where(occupied, same_key, sh2 == head_h2)
+
+    # rank among ACCEPTED points of the run (segmented inclusive sum)
+    def seg_sum(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, va + vb), fa | fb
+
+    a32 = accept.astype(jnp.int32)
+    incl, _ = jax.lax.associative_scan(seg_sum, (a32, is_head))
+    rank = incl - a32
+    # accepted points AFTER me in my run (reverse segmented sum)
+    rincl, _ = jax.lax.associative_scan(seg_sum, (a32, is_tail), reverse=True)
+    suffix_after = rincl - a32
 
     cnt_i = cnt_at.astype(jnp.int32)
     dest = cnt_i + rank
     store = accept & (dest < K)
-    # last STORED point per slot: the tail when it stored, else the point
-    # filling the final free slot (ranks are contiguous from 0)
-    cnt_writer = store & (tail | (dest == K - 1))
+    # unique count-writer per touched slot: the last accepted point when it
+    # stored, else the point filling the final free slot (ranks contiguous)
+    cnt_writer = store & ((suffix_after == 0) | (dest == K - 1))
+    claim_ok = accept & ~occupied
 
     R = 5 + 3 * K
     oob = jnp.int32(V * R)
     f32 = jnp.float32
-    p_base = slot * R
+    p_base = s_slot * R
+    s_xyz = BM.gather_rows(pc.xyz, sidx)  # (n, 3) hot narrow gather
+    s_keys = BM.gather_rows(coords, sidx).astype(f32)
     # flat element indices (2D (row, col) scatters lower to a serialized
     # whole-table transpose + loop on TPU — measured 35 ms/step; the flat
     # form runs at the normal ~5 ns/elem scatter rate)
@@ -278,12 +321,12 @@ def insert_stats(m: VoxelHashMap, pc: PointCloud) -> Tuple[VoxelHashMap, InsertS
     cnt_new = jnp.minimum(cnt_at + jnp.asarray(rank + 1, f32), f32(K))
     vals = jnp.stack(
         [
-            pc.xyz[:, 0],
-            pc.xyz[:, 1],
-            pc.xyz[:, 2],
-            coords[:, 0].astype(f32),
-            coords[:, 1].astype(f32),
-            coords[:, 2].astype(f32),
+            s_xyz[:, 0],
+            s_xyz[:, 1],
+            s_xyz[:, 2],
+            s_keys[:, 0],
+            s_keys[:, 1],
+            s_keys[:, 2],
             jnp.broadcast_to(m.epoch, (n,)),
             cnt_new,
         ],
@@ -292,7 +335,7 @@ def insert_stats(m: VoxelHashMap, pc: PointCloud) -> Tuple[VoxelHashMap, InsertS
     data = BM.scatter_set(m.data.reshape(-1), idx, vals).reshape(V, R)
 
     stats = InsertStats(
-        collision_drops=jnp.sum(pc.valid & ~accept).astype(jnp.int32),
+        collision_drops=jnp.sum(s_valid & ~accept).astype(jnp.int32),
         full_drops=jnp.sum(accept & (dest >= K)).astype(jnp.int32),
     )
     return m._replace(data=data), stats
