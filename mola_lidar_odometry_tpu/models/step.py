@@ -38,7 +38,6 @@ Deviation notes:
 from __future__ import annotations
 
 import math
-from functools import reduce
 from typing import Any, Callable, Dict, NamedTuple, Tuple
 
 import jax
