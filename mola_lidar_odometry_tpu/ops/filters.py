@@ -106,12 +106,15 @@ def decimate_voxels(
         )
         passthrough = pc.count() < min_input_points
         winner = jnp.where(passthrough, skey < T, first)
-        out_idx = jax.lax.sort([jnp.where(winner, sidx, big)], num_keys=1)[0]
-        if out_capacity <= n:
-            out_idx = out_idx[:out_capacity]
-        else:
-            out_idx = jnp.pad(out_idx, (0, out_capacity - n), constant_values=n)
-        valid_out = out_idx < n
+        # compact winners to the front in INPUT order via top_k: scoring by
+        # descending input position makes top_k return them input-ordered
+        # (~0.2 ms vs ~0.9 ms for a second sort at 131k, eval traces)
+        score = jnp.where(winner, n - sidx, 0)
+        vals, _ = jax.lax.top_k(score, min(out_capacity, n))
+        if out_capacity > n:
+            vals = jnp.pad(vals, (0, out_capacity - n))
+        valid_out = vals > 0
+        out_idx = jnp.where(valid_out, n - vals, n)
         packed = jnp.concatenate(
             [
                 pc.xyz,
