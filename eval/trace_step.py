@@ -1,0 +1,133 @@
+"""Per-HLO-op device profile of the bench scan-step (jax.profiler trace).
+
+Runs the exact bench.py configuration (lidar3d-default, B=8, 131k-pt scans)
+for a few steady-state steps under ``jax.profiler.trace`` and aggregates the
+device "X" events by op name, attributing each to a source line where the
+trace carries one.  This is the targeting tool for hot-path work: the
+aggregate tells which *instruction families* (gather / scatter / sort /
+fusion) own the step.
+
+Usage: python eval/trace_step.py [--steps 6] [--top 40]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+HERE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=6)
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--out", default="/tmp/mola_trace")
+    args = ap.parse_args()
+
+    os.environ.setdefault("MOLA_TPU_NN_NEIGHBORS", "8")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(HERE, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    import jax.numpy as jnp
+
+    from mola_lidar_odometry_tpu.models.spec import spec_from_yaml
+    from mola_lidar_odometry_tpu.parallel import batch as pb
+    from mola_lidar_odometry_tpu.utils.config import load_yaml_file
+
+    sys.path.insert(0, HERE)
+    import bench
+
+    scans, stamps = bench.gen_scans()
+    cfg = load_yaml_file(os.path.join(HERE, "pipelines", "lidar3d-default.yaml"), env={})
+    spec = spec_from_yaml(
+        cfg,
+        raw_capacity=bench.RAW_CAP,
+        map_slots=1 << 17,
+        layer_capacities={
+            "raw": bench.RAW_CAP,
+            "decimated_for_map_raw": 13312,
+            "decimated_for_icp_skewed": 2560,
+            "decimated_for_icp": 2560,
+            "decimated_for_map": 13312,
+        },
+        kf_ring_capacity=256,
+    )
+    B = args.batch
+    fstep = jax.jit(pb.make_fleet_step(spec))
+    carry = pb.init_fleet_carry(spec, B)
+
+    packed = [
+        pb.pack_scans(spec, [s] * B, [stamps[k]] * B) for k, s in enumerate(scans)
+    ]
+    # warm up into steady state (map built, tracking converged)
+    warm = 10
+    for k in range(warm):
+        carry, out = fstep(carry, packed[k])
+    jax.block_until_ready(carry)
+
+    with jax.profiler.trace(args.out):
+        for k in range(warm, warm + args.steps):
+            carry, out = fstep(carry, packed[k])
+        jax.block_until_ready(carry)
+
+    paths = sorted(
+        glob.glob(os.path.join(args.out, "plugins/profile/*/*.trace.json.gz")),
+        key=os.path.getmtime,
+    )
+    assert paths, f"no trace found under {args.out}"
+    with gzip.open(paths[-1], "rt") as f:
+        trace = json.load(f)
+
+    # device-side events: pick pids whose process name mentions TPU/device
+    pid_name = {}
+    for ev in trace["traceEvents"]:
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            pid_name[ev["pid"]] = ev["args"].get("name", "")
+    dev_pids = {
+        p for p, n in pid_name.items() if "TPU" in n or "/device" in n.lower()
+    }
+
+    agg = collections.defaultdict(float)
+    srcs = {}
+    total = 0.0
+    for ev in trace["traceEvents"]:
+        if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
+            continue
+        name = ev.get("name", "?")
+        a = ev.get("args", {}) or {}
+        # skip tracing-infra rows (run_id containers etc.)
+        if name.startswith("jit_") or "program_id" in name and not a:
+            pass
+        dur = float(ev.get("dur", 0.0))
+        agg[name] += dur
+        total += dur
+        if name not in srcs:
+            src = a.get("source") or a.get("long_name") or ""
+            srcs[name] = str(src)[:110]
+
+    steps = args.steps
+    rows = sorted(agg.items(), key=lambda kv: -kv[1])
+    print(f"total device time: {total / 1e3 / steps:.3f} ms/step  (B={B}, {steps} steps)")
+    print(f"{'ms/step':>9}  {'%':>5}  name / source")
+    shown = 0.0
+    for name, dur in rows[: args.top]:
+        shown += dur
+        print(f"{dur / 1e3 / steps:9.3f}  {100 * dur / total:5.1f}  {name}")
+        if srcs.get(name):
+            print(f"{'':17}{srcs[name]}")
+    print(f"(top {args.top} = {100 * shown / total:.1f}% of device time)")
+
+
+if __name__ == "__main__":
+    main()

@@ -385,25 +385,21 @@ class RawlogDataset(OfflineDataset):  # pragma: no cover - optional dep
 class Rosbag2Dataset(OfflineDataset):
     """rosbag2 reader (reference input module mola_input_rosbag2).
 
-    ``.db3`` bags are read NATIVELY (pure-Python SQLite + CDR decoding of
-    sensor_msgs/PointCloud2 — utils/rosbag2.py), so this path runs and is
-    tested in this environment.  ``.mcap`` bags still need the optional
-    ``mcap`` package (absent here; reference gates the whole module behind
-    HAVE_MOLA_INPUT_ROSBAG2)."""
+    BOTH rosbag2 storage formats are read NATIVELY, no optional packages:
+    ``.db3`` via pure-Python SQLite + CDR PointCloud2 decoding
+    (utils/rosbag2.py) and ``.mcap`` via the pure-Python container parser
+    (utils/mcap.py; zstd chunks handled, the reference's own test bag is
+    mcap — reference test/test_lidar_odometry_rosbag2.cpp:113-143)."""
 
     def __init__(self, path: str, topic: Optional[str] = None):
-        if str(path).endswith(".mcap"):  # pragma: no cover - optional dep
-            try:
-                import mcap  # noqa: F401
-            except ImportError as e:
-                raise ImportError(
-                    "mcap bags need the 'mcap' package (not installed); "
-                    "convert to .db3 or install it"
-                ) from e
-            raise NotImplementedError("mcap reading requires the mcap package")
-        from mola_lidar_odometry_tpu.utils.rosbag2 import Db3Reader
+        if str(path).endswith(".mcap"):
+            from mola_lidar_odometry_tpu.utils.mcap import McapReader
 
-        self.reader = Db3Reader(str(path), topic)
+            self.reader = McapReader(str(path), topic)
+        else:
+            from mola_lidar_odometry_tpu.utils.rosbag2 import Db3Reader
+
+            self.reader = Db3Reader(str(path), topic)
 
     def __len__(self) -> int:
         return len(self.reader)

@@ -288,6 +288,7 @@ def _align_fused_call(cfg, maps, layers, init_pose, prior, env, budget) -> IcpRe
         and isinstance(m0, _VHM)
         and cfg.per_voxel_nn
         and m0.points_per_voxel > 2
+        and m0.stride == 64  # the kernel's window-select is stride-64 only
     )
 
     def capture_at(pose, nbr):
@@ -296,7 +297,8 @@ def _align_fused_call(cfg, maps, layers, init_pose, prior, env, budget) -> IcpRe
 
             q = se3.transform(pose, xyz)  # identical to _capture_all's q
             return pallas_capture.capture_planar(
-                m0.data, m0.voxel_size, m0.epoch, q, nbr, interpret=interpret
+                m0.data, m0.voxel_size, m0.epoch, q, nbr,
+                interpret=interpret, K=m0.K,
             )
         cfg_n = (
             cfg

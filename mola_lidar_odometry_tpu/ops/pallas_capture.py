@@ -1,28 +1,33 @@
 """Pallas TPU kernel: fused neighborhood-capture reduction.
 
 Capture is the dominant memory mover of the whole odometry step: one
-(N*P)-row gather of packed slot rows (~28 MB per scan at production
+(N*P)-row gather of packed slot windows (~MBs per scan at production
 shapes) followed by the per-voxel top-2 reduction.  The XLA formulation of
 that reduction re-streams the (N, P, K, 3) candidate tensor from HBM 2-3
 times and was measured at ~17 ms of the ~19.6 ms capture total (B=8, v5e).
 
 This kernel keeps the gather in XLA (measured at the hardware's random-row
 floor — a manual per-row DMA loop cannot beat it) and fuses EVERYTHING
-after it into one pass: key check, live/count masking, squared distances,
-and the top-2-per-voxel one-hot selection, reading each gathered row from
-HBM exactly once.
+after it into one pass: window select, key check, live/count masking,
+squared distances, and the top-2-per-voxel one-hot selection, reading each
+gathered row from HBM exactly once.
 
 Layout is everything on this VPU: with queries on LANES and the K point
 slots on SUBLANES every op runs at full 128-lane width.  The gathered row
-block arrives query-major ``(TQ, 64)`` and is transposed in-kernel (the
+block arrives query-major ``(TQ, 128)`` and is transposed in-kernel (the
 XLU transpose is cheap: the naive query-on-sublanes variant measured
 20.7 ms, this one 3.4 ms for identical math).  Rows are gathered in
-probe-major order ``(P, npad, 64)`` and results are written straight into
+probe-major order ``(P, npad, 128)`` and results are written straight into
 the planar ``(plane, P, npad)`` arrangement the fused align kernel
 (ops/pallas_icp.py) keeps in VMEM — no transposes outside the kernel.
 
-Data layout contract (ops/voxel_hash.py): slot rows are
-``[key3 | count | epoch | x*K | y*K | z*K]`` — coords are contiguous slices.
+Data layout contract (ops/voxel_hash.py, round-3 storage): the table is
+``(V/2, 128) int32`` with TWO logical slots per physical row (stride=64
+windows).  A slot window is ``[pkey | state | x*K | y*K | z*K]`` where
+``pkey`` is the wrapped 12|12|8-bit voxel key, ``state`` packs
+``epoch<<16 | count``, and points are f32 bit patterns.  The kernel
+gathers full rows and selects each probe's 64-lane half by the slot's
+parity, passed alongside the gather.
 
 Semantics match ``voxel_hash.capture(..., per_voxel_nn=True)`` exactly:
 the reference behavior served is the KD-tree NN search inside
@@ -48,13 +53,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _make_kernel(K: int, P: int, TQ: int, neighbors: int):
-    def kernel(sp_ref, g_ref, q_ref, out_ref):
-        # sp_ref: (1, 8) f32 SMEM [voxel_size, inv_voxel_size, epoch, ...]
-        # g_ref:  (P, TQ, 5+3K) VMEM — packed rows, all probes of tile j
-        # q_ref:  (8, TQ) VMEM — query planes [x; y; z; pad...]
-        # out_ref: (8, P, TQ) VMEM — planes [x1,y1,z1,m1,x2,y2,z2,m2]
+    def kernel(sp_ref, g_ref, q_ref, par_ref, out_ref):
+        # sp_ref: (1, 8) f32 SMEM [voxel_size, inv_voxel_size, epoch16, ...]
+        # g_ref:  (P, TQ, 128) VMEM i32 — full table rows, all probes of tile
+        # q_ref:  (8, TQ) VMEM f32 — query planes [x; y; z; pad...]
+        # par_ref:(P, TQ) VMEM i32 — slot parity (which 64-lane half)
+        # out_ref:(8, P, TQ) VMEM f32 — planes [x1,y1,z1,m1,x2,y2,z2,m2]
         inv_vs = sp_ref[0, 1]
-        epoch = sp_ref[0, 2]
+        epoch16 = sp_ref[0, 2]
 
         qx = q_ref[0:1, :]  # (1, TQ)
         qy = q_ref[1:2, :]
@@ -74,11 +80,16 @@ def _make_kernel(K: int, P: int, TQ: int, neighbors: int):
 
         # STATIC unrolled probe loop: every slice below is compile-time
         for p in range(P):
-            rt = jnp.transpose(g_ref[p])  # (5+3K, TQ) — XLU transpose
-            cnt = rt[3:4]
-            xs = rt[5 : 5 + K]  # (K, TQ)
-            ys = rt[5 + K : 5 + 2 * K]
-            zs = rt[5 + 2 * K : 5 + 3 * K]
+            rt = jnp.transpose(g_ref[p])  # (128, TQ) i32 — XLU transpose
+            par = par_ref[p : p + 1, :]  # (1, TQ) i32
+            half = jnp.where(par == 1, rt[64:128], rt[0:64])  # (64, TQ)
+            pkey = half[0:1]  # (1, TQ) i32
+            state = half[1:2]
+            cnt = (state & 0xFFFF).astype(jnp.float32)
+            ep_ok = ((state >> 16) & 0xFFFF).astype(jnp.float32) == epoch16
+            xs = jax.lax.bitcast_convert_type(half[2 : 2 + K], jnp.float32)
+            ys = jax.lax.bitcast_convert_type(half[2 + K : 2 + 2 * K], jnp.float32)
+            zs = jax.lax.bitcast_convert_type(half[2 + 2 * K : 2 + 3 * K], jnp.float32)
 
             if neighbors == 27:
                 # _OFFS27 order: dx major, dz minor
@@ -95,8 +106,13 @@ def _make_kernel(K: int, P: int, TQ: int, neighbors: int):
             else:  # pragma: no cover - guarded by the wrapper
                 raise ValueError(neighbors)
 
-            key_ok = (rt[0:1] == ex) & (rt[1:2] == ey) & (rt[2:3] == ez)
-            live = key_ok & (cnt > 0) & (rt[4:5] == epoch)
+            # wrapped 12|12|8 packed key (bit-exact vs voxel_hash.pack_key)
+            ix = ex.astype(jnp.int32) & 4095
+            iy = ey.astype(jnp.int32) & 4095
+            iz = ez.astype(jnp.int32) & 255
+            pk_exp = (ix << 20) | (iy << 8) | iz
+            key_ok = pkey == pk_exp
+            live = key_ok & ep_ok & (cnt > 0)
             kmask = live & (k_iota < cnt)
 
             dx = xs - qx
@@ -128,16 +144,17 @@ def _make_kernel(K: int, P: int, TQ: int, neighbors: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("neighbors", "interpret", "tile_q")
+    jax.jit, static_argnames=("neighbors", "interpret", "tile_q", "K")
 )
 def capture_planar(
-    data: jax.Array,  # (V, 5 + 3K) packed slot rows (planar point layout)
+    data: jax.Array,  # (V/2, 128) i32 packed slot windows (stride=64)
     voxel_size: jax.Array,  # () f32
-    epoch: jax.Array,  # () f32 — row-liveness tag (see voxel_hash docstring)
+    epoch: jax.Array,  # () i32 — slot-liveness tag (see voxel_hash docstring)
     queries: jax.Array,  # (N, 3) world-frame query points
     neighbors: int = 27,
     interpret: bool = False,
     tile_q: int = 256,
+    K: int = 20,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused capture: returns planar candidates ``(cx, cy, cz, cm)``, each
     ``(2P, npad)`` f32 — exactly the layout ops/pallas_icp.align_fused keeps
@@ -146,8 +163,8 @@ def capture_planar(
     from mola_lidar_odometry_tpu.ops.voxel_hash import neighbor_coords
     from mola_lidar_odometry_tpu.ops import batched_mem as BM
 
-    V, R = data.shape
-    K = (R - 5) // 3
+    rows = data.shape[0]
+    V = rows * 2  # stride-64 windows: two logical slots per physical row
     n = queries.shape[0]
     TQ = min(tile_q, _round_up(max(n, 128), 128))
     npad = _round_up(max(n, TQ), TQ)
@@ -157,17 +174,19 @@ def capture_planar(
     cand = neighbor_coords(q, base, voxel_size, neighbors)  # (npad, P, 3)
     P = cand.shape[1]
     slots = voxel_hash(cand, V)  # (npad, P)
+    slots_pm = jnp.swapaxes(slots, 0, 1)  # (P, npad) probe-major
     # probe-major gather: rows arrive grouped by p, queries contiguous
-    g = BM.gather_rows(data, jnp.swapaxes(slots, 0, 1).reshape(-1)).reshape(
-        P, npad, R
+    g = BM.gather_rows(data, (slots_pm >> 1).reshape(-1)).reshape(
+        P, npad, 128
     )
+    par = (slots_pm & 1).astype(jnp.int32)  # (P, npad)
     q8 = jnp.pad(jnp.swapaxes(q, 0, 1), [(0, 5), (0, 0)])  # (8, npad)
 
     sp = jnp.stack(
         [
             jnp.asarray(voxel_size, jnp.float32),
             1.0 / jnp.asarray(voxel_size, jnp.float32),
-            jnp.asarray(epoch, jnp.float32),
+            (jnp.asarray(epoch, jnp.int32) & 0xFFFF).astype(jnp.float32),
         ]
     )
     sp = jnp.pad(sp, (0, 5)).reshape(1, 8)
@@ -178,13 +197,14 @@ def capture_planar(
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((P, TQ, R), lambda j: (0, j, 0)),
+            pl.BlockSpec((P, TQ, 128), lambda j: (0, j, 0)),
             pl.BlockSpec((8, TQ), lambda j: (0, j)),
+            pl.BlockSpec((P, TQ), lambda j: (0, j)),
         ],
         out_specs=pl.BlockSpec((8, P, TQ), lambda j: (0, 0, j)),
         out_shape=jax.ShapeDtypeStruct((8, P, npad), jnp.float32),
         interpret=interpret,
-    )(sp, g, q8)
+    )(sp, g, q8, par)
 
     # planes -> (2P, npad): top-1 block over top-2 block, plain concats
     cx = jnp.concatenate([out[0], out[4]], axis=0)

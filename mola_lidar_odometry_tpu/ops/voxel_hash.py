@@ -6,47 +6,58 @@ TPU-native replacement for ``mola::HashedVoxelPointCloud``
 the KD-tree NN search inside ``mp2p_icp::Matcher_Points_DistanceThreshold``
 (pipelines/lidar3d-default.yaml:196-204).
 
-Design (SURVEY.md §7): a direct-mapped spatial-hash table in HBM with a
-static slot count ``V`` and per-voxel point capacity ``K``.  The entire slot
-record is **packed into one f32 row** so a neighborhood probe is a single
-fused gather — on TPU each gather instruction carries a large fixed cost, so
-one (N*P)-row gather of packed rows beats separate key/count/point gathers
-by an order of magnitude (measured on v5e):
+Storage design (round 3 — driven by the measured v5e cost model in
+docs/benchmarks.md):
 
-  ``data (V, 5 + 3K) f32``:
-    * ``[0:3]``      — voxel integer coords of the slot's occupant (exact f32)
-    * ``[3]``        — live point count (0 = empty)
-    * ``[4]``        — epoch tag: the row is live only when it equals the
-      map's ``epoch`` scalar.  ``clear()`` is then a scalar increment —
-      crucial because the bad-first-ICP restart wipe sits on the per-step
-      path under vmap, where a real table wipe costs a whole-table select
-      chain (~6 ms/step at B=8 measured before this design).
-    * ``[5:5+K]``    — x coordinates of the K point slots (planar)
-    * ``[5+K:5+2K]`` — y coordinates
-    * ``[5+2K:]``    — z coordinates
+  ``data (V * stride / 128, 128) int32`` — the table is tiled into rows of
+  EXACTLY 128 lanes (the physical TPU tile width), each logical slot owning
+  a ``stride``-lane window.  Earlier layouts used one 65-lane f32 row per
+  slot; TPU pads the minor dim to 128, so every whole-table op (the insert
+  reshape, the eviction update, layout conversions) streamed 2x the live
+  bytes and XLA bounced the table between physical layouts at ~1.2 ms per
+  copy at B=8.  With 128-exact rows the flat view used by the insert
+  scatter is layout-identical (no materializing reshape) and the table
+  never changes layout.
 
-  The planar (xxx…yyy…zzz) in-row point layout makes each coordinate a
-  CONTIGUOUS lane slice of the gathered row — the fused Pallas capture
-  kernel (ops/pallas_capture.py) slices lanes without strided shuffles.
+  Slot window (``stride`` = smallest of 32/64/128/256 >= 2 + 3K):
+    * lane 0 — **packed voxel key** ``pkey``: the voxel integer coords
+      wrapped into 12|12|8 bits (x|y|z).  Exact voxel identity as long as
+      live voxels span < 2048 cells in x/y and < 128 in z around each
+      other — guaranteed whenever ``remove_voxels_farther_than`` keeps the
+      map bounded (the reference default); documented envelope otherwise
+      (docs/parity.md).
+    * lane 1 — **state**: ``(epoch & 0xffff) << 16 | count``.  A slot is
+      live only when its epoch field equals the map's ``epoch`` scalar, so
+      ``clear()`` is a scalar increment — a real table wipe under vmap
+      costs a whole-table select chain (~6 ms/step at B=8, measured).
+    * lanes 2..2+3K — the K point slots, planar x*K | y*K | z*K, f32 bits.
 
-Insertion is fully parallel and atomics-free:
-  1. empty slots are *claimed* by scatter-min over point index (deterministic
-     first-point-wins, mirroring the C++ map's insertion order semantics);
-  2. per-slot arrival ranks come from one sort over the insert batch;
-  3. points scatter into ``data[slot, 4 + 3*(count+rank)]`` bounded by ``K``.
-Hash collisions (two voxels, one slot) drop the newcomer's points for that
-frame — with V >= 4x the live voxel count this is rare, and distance-based
-eviction recycles slots continuously.
+  The planar in-window point layout keeps each coordinate a CONTIGUOUS
+  lane slice of the gathered row — the fused Pallas capture kernel
+  (ops/pallas_capture.py) slices lanes without strided shuffles.
+
+Insertion is fully parallel, atomics-free and SORT-FUSED: one
+lexicographic (slot, idx) sort groups each slot's valid points with the
+first-come point at the run head (the reference's claim winner for empty
+slots); per-slot ranks come from segmented scans in the sorted domain; the
+table update is ONE flat element scatter of 5 words per stored point
+(x, y, z, pkey, state) — all points of a run write identical pkey/state
+values, so duplicate scatter ordering cannot change state.  Measured on
+this v5e: scatters cost ~6 ns per (masked or live) element with no
+per-instruction floor, so fewer static elements per point is the whole
+game (8 -> 5 here, and no layout round-trip).
 
 Queries probe either the full 3x3x3 neighborhood (27 voxels, exact within
 one voxel radius — the reference-parity default) or the 2x2x2 corner block
-nearest the query (8 voxels — exact for matches within voxel_size/2, the
-fast mode for converged tracking), reducing over the <=P*K candidates.
+nearest the query (8 voxels — exact for matches within voxel_size/2),
+reducing over the <=P*K candidates.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,6 +69,51 @@ _OFFS27 = [
     (dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
 ]
 _CORNERS8 = [(i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)]
+
+# packed-key bit layout: x 12 | y 12 | z 8 (wrapped / modular)
+_PKX_BITS, _PKY_BITS, _PKZ_BITS = 12, 12, 8
+_PKX, _PKY, _PKZ = 1 << _PKX_BITS, 1 << _PKY_BITS, 1 << _PKZ_BITS
+
+
+def pack_key(coords: jax.Array) -> jax.Array:
+    """Wrap voxel integer coords into one i32 ``pkey`` (exact modulo the
+    wrap range; see module docstring for the envelope argument)."""
+    cx = coords[..., 0] & (_PKX - 1)
+    cy = coords[..., 1] & (_PKY - 1)
+    cz = coords[..., 2] & (_PKZ - 1)
+    return (cx << (_PKY_BITS + _PKZ_BITS)) | (cy << _PKZ_BITS) | cz
+
+
+def unpack_key_near(pkey: jax.Array, anchor: jax.Array) -> jax.Array:
+    """Decode wrapped keys to the representative nearest ``anchor`` (3,) i32.
+
+    Exact for voxels within half the wrap range of the anchor (±1024 cells
+    in x/y, ±64 in z) — the sliding local map under its eviction radius
+    always satisfies this.
+    """
+    ux = (pkey >> (_PKY_BITS + _PKZ_BITS)) & (_PKX - 1)
+    uy = (pkey >> _PKZ_BITS) & (_PKY - 1)
+    uz = pkey & (_PKZ - 1)
+
+    def near(u, a, m):
+        return a + (((u - a + m // 2) & (m - 1)) - m // 2)
+
+    return jnp.stack(
+        [
+            near(ux, anchor[..., 0], _PKX),
+            near(uy, anchor[..., 1], _PKY),
+            near(uz, anchor[..., 2], _PKZ),
+        ],
+        axis=-1,
+    )
+
+
+def _pick_stride(K: int) -> int:
+    need = 2 + 3 * K
+    for s in (32, 64, 128, 256):
+        if need <= s:
+            return s
+    raise ValueError(f"points_per_voxel={K} too large (max 84)")
 
 
 def neighbor_coords(queries: jax.Array, base: jax.Array, voxel_size, neighbors: int) -> jax.Array:
@@ -77,38 +133,75 @@ def neighbor_coords(queries: jax.Array, base: jax.Array, voxel_size, neighbors: 
     raise ValueError(f"neighbors must be 1, 8 or 27, got {neighbors}")
 
 
-class VoxelHashMap(NamedTuple):
-    """Fixed-capacity voxel point map (packed slot rows, device-resident)."""
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class VoxelHashMap:
+    """Fixed-capacity voxel point map (128-lane-tiled i32 slot windows)."""
 
-    voxel_size: jax.Array  # () f32 — set when the map is created (dynamic var expr)
-    data: jax.Array  # (V, 5 + 3K) f32 — [key3 | count | epoch | xyz planes]
-    epoch: jax.Array  # () f32 — rows live iff their epoch lane equals this
+    voxel_size: jax.Array  # () f32 — set when the map is created
+    data: jax.Array  # (V * stride / 128, 128) i32
+    epoch: jax.Array  # () i32 — slots live iff their state epoch matches
+    K: int = 20  # static: point capacity per voxel
+    stride: int = 64  # static: lanes per slot window
 
+    # -- pytree / NamedTuple-compat plumbing --------------------------------
+    _fields = ("voxel_size", "data", "epoch", "K", "stride")
+
+    def tree_flatten(self):
+        return (self.voxel_size, self.data, self.epoch), (self.K, self.stride)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, K=aux[0], stride=aux[1])
+
+    def _replace(self, **kw) -> "VoxelHashMap":
+        return dataclasses.replace(self, **kw)
+
+    # -- shape properties ----------------------------------------------------
     @property
     def num_slots(self) -> int:
-        return self.data.shape[0]
+        return self.data.shape[-2] * 128 // self.stride
 
     @property
     def points_per_voxel(self) -> int:
-        return (self.data.shape[1] - 5) // 3
+        return self.K
+
+    # -- decoded whole-table views (cold paths: viz, serialization, tests) ---
+    @property
+    def _windows(self) -> jax.Array:
+        """(V, stride) i32 — one window per logical slot."""
+        return self.data.reshape(self.num_slots, self.stride)
+
+    @property
+    def _epoch16(self) -> jax.Array:
+        return self.epoch & jnp.int32(0xFFFF)
 
     @property
     def fresh(self) -> jax.Array:
-        """(V,) bool — rows belonging to the current epoch."""
-        return self.data[:, 4] == self.epoch
-
-    @property
-    def keys(self) -> jax.Array:
-        return self.data[:, :3].astype(jnp.int32)
+        """(V,) bool — slots belonging to the current epoch."""
+        state = self._windows[:, 1]
+        return ((state >> 16) & 0xFFFF) == self._epoch16
 
     @property
     def count(self) -> jax.Array:
-        return jnp.where(self.fresh, self.data[:, 3], 0.0).astype(jnp.int32)
+        state = self._windows[:, 1]
+        return jnp.where(self.fresh, state & 0xFFFF, 0)
+
+    @property
+    def keys(self) -> jax.Array:
+        """(V, 3) i32 voxel coords, unwrapped near the origin."""
+        return unpack_key_near(self._windows[:, 0], jnp.zeros(3, jnp.int32))
+
+    def keys_near(self, anchor_vox: jax.Array) -> jax.Array:
+        return unpack_key_near(self._windows[:, 0], anchor_vox)
 
     @property
     def pts(self) -> jax.Array:
-        V, K = self.num_slots, self.points_per_voxel
-        return jnp.swapaxes(self.data[:, 5:].reshape(V, 3, K), 1, 2)
+        """(V, K, 3) f32 — stored points (garbage beyond each count)."""
+        V, K = self.num_slots, self.K
+        w = self._windows[:, 2 : 2 + 3 * K]
+        xyz = jax.lax.bitcast_convert_type(w, jnp.float32).reshape(V, 3, K)
+        return jnp.swapaxes(xyz, 1, 2)
 
     def num_points(self) -> jax.Array:
         return jnp.sum(self.count)
@@ -123,14 +216,55 @@ class VoxelHashMap(NamedTuple):
     def create(num_slots: int, points_per_voxel: int, voxel_size) -> "VoxelHashMap":
         if num_slots & (num_slots - 1):
             raise ValueError("num_slots must be a power of two")
+        K = int(points_per_voxel)
+        stride = _pick_stride(K)
+        if num_slots * stride < 128:  # tiny test maps: widen the windows
+            stride = 128 // num_slots
+        rows = num_slots * stride // 128
         return VoxelHashMap(
             voxel_size=jnp.asarray(voxel_size, jnp.float32),
-            data=jnp.zeros((num_slots, 5 + 3 * points_per_voxel), jnp.float32),
-            epoch=jnp.float32(1.0),  # zero-filled rows are born dead
+            data=jnp.zeros((rows, 128), jnp.int32),
+            epoch=jnp.int32(1),  # zero-filled rows are born dead
+            K=K,
+            stride=stride,
         )
 
     def clear(self) -> "VoxelHashMap":
-        return self._replace(epoch=self.epoch + 1.0)
+        return self._replace(epoch=self.epoch + 1)
+
+
+def _window_base(m: VoxelHashMap, slot: jax.Array) -> jax.Array:
+    """Flat element index of a slot's window start."""
+    return slot * m.stride
+
+
+def _gather_windows(m: VoxelHashMap, slot: jax.Array) -> jax.Array:
+    """(n, stride) i32 slot windows via row gathers + in-register selects.
+
+    Row gathers are row-count bound and width-free on this chip, so we
+    always gather full 128-lane rows and select the slot's window from
+    registers (strides < 128), or gather stride/128 rows (strides > 128).
+    """
+    from mola_lidar_odometry_tpu.ops import batched_mem as BM
+
+    s = m.stride
+    if s == 128:
+        return BM.gather_rows(m.data, slot)
+    if s < 128:
+        spr = 128 // s  # slots per row
+        shift = spr.bit_length() - 1
+        g = BM.gather_rows(m.data, slot >> shift)  # (n, 128)
+        sub = slot & (spr - 1)
+        while spr > 1:
+            half = g.shape[-1] // 2
+            hi_bit = (sub >> (spr.bit_length() - 2)) & 1
+            g = jnp.where((hi_bit == 1)[..., None], g[..., half:], g[..., :half])
+            spr //= 2
+        return g
+    rpp = s // 128  # rows per slot
+    idx = (slot[:, None] * rpp + jnp.arange(rpp, dtype=jnp.int32)[None]).reshape(-1)
+    g = BM.gather_rows(m.data, idx)
+    return g.reshape(slot.shape[0], s)
 
 
 def claim_slots(
@@ -141,7 +275,7 @@ def claim_slots(
     valid: jax.Array,  # (n,) bool
     num_slots: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Atomics-free parallel slot claim, shared by all hash-map types.
+    """Atomics-free parallel slot claim, shared by the NDT/occupancy maps.
 
     The caller gathers its packed slot rows ONCE and passes the derived
     per-point ``same_key``/``occupied`` flags (keeping the total gather
@@ -201,71 +335,53 @@ def insert(m: VoxelHashMap, pc: PointCloud) -> VoxelHashMap:
     return insert_stats(m, pc)[0]
 
 
-def _h2(coords: jax.Array) -> jax.Array:
-    """Secondary 32-bit spatial hash: compares voxel identities in the
-    sorted insert domain without carrying the 3 coordinate lanes through
-    the sort.  POLYNOMIAL chaining with constants independent from the
-    slot hash's — xor-combining products is forbidden here (for odd ``a``,
-    ``a ^ -a == -2``, so sign-flipped odd products always collide; the
-    family bug this caused stored points into wrong-keyed rows).  Residual
-    collision odds are the generic ~2^-31 per pair — far below the
-    point-drop noise floor."""
-    h = (coords[..., 0] * jnp.int32(-1640531527) + coords[..., 1]) * jnp.int32(
-        0x2545F491
-    ) + coords[..., 2]
-    h = h * jnp.int32(0x27D4EB2F)
-    return h ^ (h >> 15)
-
-
 def insert_stats(m: VoxelHashMap, pc: PointCloud) -> Tuple[VoxelHashMap, InsertStats]:
     """Insert + capacity-pressure counters (see :class:`InsertStats`).
 
     Fully sort-fused: ONE lexicographic (slot, idx) sort groups each
     slot's valid points with the first-come point at the run head, which
     IS the reference's claim winner for empty slots — so claim
-    resolution, per-slot arrival ranks (segmented prefix sums), the
-    count-writer election, and the stats all happen in the sorted domain
-    with no claim table, no winner gathers, and no rank map-back scatter
-    (together ~2.6 ms/step at B=8 before this fold).  Voxel identities in
-    the sorted domain compare via the secondary hash :func:`_h2`.
+    resolution, per-slot arrival ranks (segmented prefix sums), and the
+    stats all happen in the sorted domain with no claim table and no
+    winner gathers.  Voxel identity in the sorted domain is the exact
+    wrapped ``pkey`` riding through the sort.
 
-    The table update itself stays ONE flat scatter-set: TPU scatters
-    carry a ~4.5 ms fixed cost per *instruction* on top of ~5 ns/element
-    (eval/micro_gather.py), and the count is a plain set-element written
-    by the LAST stored point of each slot (``cnt_eff + n_stored`` —
-    exact, order-free; every index set is disjoint-or-equal so duplicate
-    scatter ordering cannot change state).
+    The table update is ONE flat element scatter of 5 i32 words per
+    stored point: x, y, z (f32 bits) into the planar point lanes, plus
+    the slot's pkey and final state — every stored point of a run writes
+    the IDENTICAL pkey/state words (the run's final count), so duplicate
+    scatter ordering cannot change the result.  Elements are ~6 ns each
+    on this chip with no per-instruction floor (eval/micro_insert.py), so
+    the static element count per point is the entire cost.
     """
-    V, K = m.num_slots, m.points_per_voxel
+    V, K = m.num_slots, m.K
     n = pc.capacity
 
     from mola_lidar_odometry_tpu.ops import batched_mem as BM
 
     coords = voxel_coords(pc.xyz, m.voxel_size)  # (n, 3)
     slot = voxel_hash(coords, V)  # (n,)
-    h2 = _h2(coords)
+    pkey = pack_key(coords)
 
-    # ONE sort: (slot | V-for-invalid, input idx) lexicographic, h2 rides
+    # ONE sort: (slot | V-for-invalid, input idx) lexicographic, pkey rides
     sort_key = jnp.where(pc.valid, slot, jnp.int32(V))
     pos = jnp.arange(n, dtype=jnp.int32)
-    skey, sidx, sh2 = jax.lax.sort([sort_key, pos, h2], num_keys=2)
+    skey, sidx, spk = jax.lax.sort([sort_key, pos, pkey], num_keys=2)
     s_valid = skey < V
     s_slot = jnp.where(s_valid, skey, 0)
 
-    # row state gathered in the SORTED domain.  Full rows on purpose: the
-    # gather is row-count bound (width-free), while slicing the table to
-    # (V, 5) first materializes a whole-column copy (~0.7 ms/step at B=8).
-    g5 = BM.gather_rows(m.data, s_slot)[:, :5]  # [key3|cnt|epoch] per point
-    fresh = s_valid & (g5[:, 4] == m.epoch)
-    rowkey_h2 = _h2(g5[:, :3].astype(jnp.int32))
-    occupied = fresh & (g5[:, 3] > 0)
-    same_key = occupied & (rowkey_h2 == sh2)
-    cnt_at = jnp.where(fresh, g5[:, 3], 0.0)
+    # slot state gathered in the SORTED domain (full-row gather + select)
+    g = _gather_windows(m, s_slot)  # (n, stride)
+    row_pkey, state = g[:, 0], g[:, 1]
+    fresh = s_valid & (((state >> 16) & 0xFFFF) == m._epoch16)
+    occupied = fresh  # a fresh slot always has count >= 1
+    same_key = occupied & (row_pkey == spk)
+    cnt_at = jnp.where(fresh, state & 0xFFFF, 0)
 
     is_head = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
     is_tail = jnp.concatenate([skey[1:] != skey[:-1], jnp.ones((1,), bool)])
 
-    # head h2 propagated through each run (segmented copy-first scan):
+    # head pkey propagated through each run (segmented copy-first scan):
     # the run head is the lowest-input-index valid point of the slot —
     # exactly the reference's first-come claimant for an empty slot
     def seg_first(a, b):
@@ -273,9 +389,9 @@ def insert_stats(m: VoxelHashMap, pc: PointCloud) -> Tuple[VoxelHashMap, InsertS
         vb, fb = b
         return jnp.where(fb, vb, va), fa | fb
 
-    head_h2, _ = jax.lax.associative_scan(seg_first, (sh2, is_head))
+    head_pk, _ = jax.lax.associative_scan(seg_first, (spk, is_head))
 
-    accept = s_valid & jnp.where(occupied, same_key, sh2 == head_h2)
+    accept = s_valid & jnp.where(occupied, same_key, spk == head_pk)
 
     # rank among ACCEPTED points of the run (segmented inclusive sum)
     def seg_sum(a, b):
@@ -288,53 +404,36 @@ def insert_stats(m: VoxelHashMap, pc: PointCloud) -> Tuple[VoxelHashMap, InsertS
     rank = incl - a32
     # accepted points AFTER me in my run (reverse segmented sum)
     rincl, _ = jax.lax.associative_scan(seg_sum, (a32, is_tail), reverse=True)
-    suffix_after = rincl - a32
+    n_total = incl + rincl - a32  # accepted points in my whole run
 
-    cnt_i = cnt_at.astype(jnp.int32)
-    dest = cnt_i + rank
+    dest = cnt_at + rank
     store = accept & (dest < K)
-    # unique count-writer per touched slot: the last accepted point when it
-    # stored, else the point filling the final free slot (ranks contiguous)
-    cnt_writer = store & ((suffix_after == 0) | (dest == K - 1))
-    claim_ok = accept & ~occupied
 
-    R = 5 + 3 * K
-    oob = jnp.int32(V * R)
-    f32 = jnp.float32
-    p_base = s_slot * R
+    cnt_fin = jnp.minimum(cnt_at + n_total, K)
+    state_fin = (m._epoch16 << 16) | cnt_fin
+
+    stride = m.stride
+    oob = jnp.int32(m.data.shape[-2] * 128)
+    p_base = s_slot * stride
     s_xyz = BM.gather_rows(pc.xyz, sidx)  # (n, 3) hot narrow gather
-    s_keys = BM.gather_rows(coords, sidx).astype(f32)
-    # flat element indices (2D (row, col) scatters lower to a serialized
-    # whole-table transpose + loop on TPU — measured 35 ms/step; the flat
-    # form runs at the normal ~5 ns/elem scatter rate)
+    xyz_bits = jax.lax.bitcast_convert_type(s_xyz, jnp.int32)
+    # flat element indices (the (rows,128) -> flat reshape is layout-exact
+    # for 128-lane rows — no materializing layout round-trip)
     idx = jnp.stack(
         [
-            jnp.where(store, p_base + 5 + dest, oob),  # x
-            jnp.where(store, p_base + 5 + K + dest, oob),  # y
-            jnp.where(store, p_base + 5 + 2 * K + dest, oob),  # z
-            jnp.where(claim_ok, p_base + 0, oob),  # key x
-            jnp.where(claim_ok, p_base + 1, oob),  # key y
-            jnp.where(claim_ok, p_base + 2, oob),  # key z
-            jnp.where(claim_ok, p_base + 4, oob),  # epoch tag
-            jnp.where(cnt_writer, p_base + 3, oob),  # count
+            jnp.where(store, p_base + 2 + dest, oob),  # x
+            jnp.where(store, p_base + 2 + K + dest, oob),  # y
+            jnp.where(store, p_base + 2 + 2 * K + dest, oob),  # z
+            jnp.where(store, p_base + 0, oob),  # pkey (same value per run)
+            jnp.where(store, p_base + 1, oob),  # state (same value per run)
         ],
         axis=-1,
-    )  # (n, 8)
-    cnt_new = jnp.minimum(cnt_at + jnp.asarray(rank + 1, f32), f32(K))
+    )  # (n, 5)
     vals = jnp.stack(
-        [
-            s_xyz[:, 0],
-            s_xyz[:, 1],
-            s_xyz[:, 2],
-            s_keys[:, 0],
-            s_keys[:, 1],
-            s_keys[:, 2],
-            jnp.broadcast_to(m.epoch, (n,)),
-            cnt_new,
-        ],
+        [xyz_bits[:, 0], xyz_bits[:, 1], xyz_bits[:, 2], spk, state_fin],
         axis=-1,
     )
-    data = BM.scatter_set(m.data.reshape(-1), idx, vals).reshape(V, R)
+    data = BM.scatter_set(m.data.reshape(-1), idx, vals).reshape(m.data.shape)
 
     stats = InsertStats(
         collision_drops=jnp.sum(s_valid & ~accept).astype(jnp.int32),
@@ -343,16 +442,46 @@ def insert_stats(m: VoxelHashMap, pc: PointCloud) -> Tuple[VoxelHashMap, InsertS
     return m._replace(data=data), stats
 
 
+def _prune_state_scatter(
+    m: VoxelHashMap, center: jax.Array, distance, row_start, n_rows: int
+) -> VoxelHashMap:
+    """Kill far slots in rows [row_start, row_start+n_rows) via ONE tiny
+    element scatter of their state lanes (no whole-table update op)."""
+    from mola_lidar_odometry_tpu.ops import batched_mem as BM
+
+    stride = m.stride
+    spr = max(128 // stride, 1)
+    rows = jax.lax.dynamic_slice_in_dim(m.data, row_start, n_rows, -2)
+    # slots covered by these rows
+    if stride <= 128:
+        w = rows.reshape(n_rows * spr, stride)
+        slot0 = row_start * spr
+    else:
+        rpp = stride // 128
+        w = rows.reshape(n_rows // rpp, stride)
+        slot0 = row_start // rpp
+    pkey, state = w[:, 0], w[:, 1]
+    live = ((state >> 16) & 0xFFFF) == m._epoch16
+    cvox = voxel_coords(center[None], m.voxel_size)[0]  # (3,) i32
+    kvox = unpack_key_near(pkey, cvox)  # (S, 3)
+    centers = (kvox.astype(jnp.float32) + 0.5) * m.voxel_size
+    l1 = jnp.max(jnp.abs(centers - center), axis=-1)
+    kill = live & (l1 > distance) & (distance > 0)
+    sl = slot0 + jnp.arange(w.shape[0], dtype=jnp.int32)
+    oob = jnp.int32(m.data.shape[-2] * 128)
+    idx = jnp.where(kill, sl * stride + 1, oob)
+    vals = jnp.zeros_like(idx)
+    data = BM.scatter_set(m.data.reshape(-1), idx, vals).reshape(m.data.shape)
+    return m._replace(data=data)
+
+
 def prune_farther_than(m: VoxelHashMap, center: jax.Array, distance) -> VoxelHashMap:
     """Drop voxels with L1 distance from ``center`` beyond ``distance``.
 
     Mirrors ``remove_voxels_farther_than`` (L1 metric per SURVEY §2.3 /
     pipelines/lidar3d-default.yaml:237-238).  ``distance <= 0`` disables.
     """
-    centers = (m.data[:, :3] + 0.5) * m.voxel_size
-    l1 = jnp.max(jnp.abs(centers - center), axis=-1)
-    keep = (l1 <= distance) | (distance <= 0)
-    return m._replace(data=m.data.at[:, 3].mul(keep.astype(jnp.float32)))
+    return _prune_state_scatter(m, center, distance, 0, m.data.shape[-2])
 
 
 def prune_farther_than_slab(
@@ -360,26 +489,19 @@ def prune_farther_than_slab(
 ) -> VoxelHashMap:
     """Rolling-slab eviction: prune 1/``n_slabs`` of the table per call.
 
-    The full-table prune's single-lane column write costs a whole-table
-    rewrite chain on TPU (reshape + dynamic-update-slice + copies — ~12 ms
-    per step at B=8, the third-largest line of the entire scan-step
-    profile).  Sweeping one contiguous slab per step bounds the touched
-    bytes to table/``n_slabs`` while every voxel is still checked each
-    ``n_slabs`` frames — tighter than the reference's own eviction cadence
-    (``check_for_removal_every_n: 100``, pipelines/lidar3d-default.yaml),
-    so the amortization is a parity-preserving deviation (docs/parity.md).
+    Each call checks one contiguous row slab and zeroes far slots' state
+    lanes with one ~(V/n_slabs)-element scatter — every voxel is still
+    checked each ``n_slabs`` frames, tighter than the reference's own
+    eviction cadence (``check_for_removal_every_n: 100``,
+    pipelines/lidar3d-default.yaml), so the amortization is a
+    parity-preserving deviation (docs/parity.md).  Round-2's
+    dynamic-update-slice formulation cost ~2.9 ms/step at B=8 in whole-
+    table update/copy ops; this one touches only the slab's state lanes.
     """
-    V = m.num_slots
-    S = V // n_slabs
+    R = m.data.shape[-2]
+    S = R // n_slabs
     start = jnp.asarray(slab, jnp.int32) % n_slabs * S
-    rows = jax.lax.dynamic_slice_in_dim(m.data, start, S, 0)  # (S, row)
-    centers = (rows[:, :3] + 0.5) * m.voxel_size
-    l1 = jnp.max(jnp.abs(centers - center), axis=-1)
-    keep = ((l1 <= distance) | (distance <= 0)).astype(jnp.float32)
-    rows = jnp.concatenate(
-        [rows[:, :3], rows[:, 3:4] * keep[:, None], rows[:, 4:]], axis=1
-    )
-    return m._replace(data=jax.lax.dynamic_update_slice_in_dim(m.data, rows, start, 0))
+    return _prune_state_scatter(m, center, distance, start, S)
 
 
 class CandSet(NamedTuple):
@@ -391,13 +513,6 @@ class CandSet(NamedTuple):
     pose each iteration.  Exact as long as the in-align pose correction
     stays below the probe margin (a full voxel for 27 probes) — which the
     twist-reoptimization hook bounds at ~0.15 m anyway.
-
-    With ``cand_cap`` the set is further compacted to the cap nearest
-    candidates at the capture pose: any candidate that could become the
-    nearest neighbor later (pose delta d) must lie within
-    d2_min + O(pose delta) of the capture-time minimum, so dropping all-but-
-    the-nearest-C is a safe superset for realistic caps; it cuts the
-    per-iteration streaming volume by C/(P*K).
     """
 
     pts: jax.Array  # (N, C, 3) candidate map points
@@ -410,34 +525,41 @@ def capture(
     neighbors: int = 27,
     per_voxel_nn: bool = False,
 ) -> CandSet:
-    """ONE fused gather of the packed neighborhood rows around ``queries``.
+    """ONE fused gather of the packed neighborhood windows around
+    ``queries``.
 
     With ``per_voxel_nn`` the K points of each probed voxel reduce to the
-    single point nearest the query at capture time (argmin over K, no
-    sorting), leaving P candidates per query — a KISS-ICP-style
+    two nearest the query at capture time (top-2 via one-hot selects, no
+    sorting), leaving 2P candidates per query — a KISS-ICP-style
     closest-point-per-voxel view that cuts the per-iteration streaming
-    volume K-fold.  Under the capture-once regime the selected point is at
-    most 2x(in-align pose delta) worse than the exact in-voxel nearest —
-    negligible under the robust kernel with the ~0.15 m hook bound.
+    volume K/2-fold.  Under the capture-once regime the selected points
+    are at most 2x(in-align pose delta) worse than the exact in-voxel
+    nearest — negligible under the robust kernel with the ~0.15 m hook
+    bound.
     """
-    from mola_lidar_odometry_tpu.ops import batched_mem as BM
-
-    V, K = m.num_slots, m.points_per_voxel
+    V, K = m.num_slots, m.K
     n = queries.shape[0]
     base = voxel_coords(queries, m.voxel_size)
     cand = neighbor_coords(queries, base, m.voxel_size, neighbors)  # (N,P,3)
     P = cand.shape[1]
     slots = voxel_hash(cand, V)  # (N, P)
 
-    g = BM.gather_rows(m.data, slots.reshape(-1)).reshape(n, P, 5 + 3 * K)
-    key_ok = jnp.all(g[..., :3] == cand.astype(jnp.float32), axis=-1)
-    cnt = g[..., 3]
-    live = key_ok & (cnt > 0) & (g[..., 4] == m.epoch)
+    g = _gather_windows(m, slots.reshape(-1)).reshape(n, P, m.stride)
+    pkey, state = g[..., 0], g[..., 1]
+    key_ok = pkey == pack_key(cand)
+    cnt = jnp.where(
+        ((state >> 16) & 0xFFFF) == m._epoch16, state & 0xFFFF, 0
+    )
+    live = key_ok & (cnt > 0)
     pts4 = jnp.stack(
-        [g[..., 5 : 5 + K], g[..., 5 + K : 5 + 2 * K], g[..., 5 + 2 * K :]],
+        [
+            jax.lax.bitcast_convert_type(g[..., 2 : 2 + K], jnp.float32),
+            jax.lax.bitcast_convert_type(g[..., 2 + K : 2 + 2 * K], jnp.float32),
+            jax.lax.bitcast_convert_type(g[..., 2 + 2 * K : 2 + 3 * K], jnp.float32),
+        ],
         axis=-1,
     )  # (n, P, K, 3)
-    jslots = jnp.arange(K, dtype=jnp.float32)
+    jslots = jnp.arange(K, dtype=jnp.int32)
     cmask4 = live[..., None] & (jslots < cnt[..., None])  # (n, P, K)
 
     if per_voxel_nn and K > 2:
@@ -590,7 +712,7 @@ def query_p2pl(
 
 def as_pointcloud(m: VoxelHashMap, capacity: int) -> PointCloud:
     """Flatten live voxel contents into a PointCloud (for viz / serialization)."""
-    V, K = m.num_slots, m.points_per_voxel
+    V, K = m.num_slots, m.K
     jmask = jnp.arange(K, dtype=jnp.int32)[None, :] < m.count[:, None]
     pc = PointCloud.from_xyz(
         m.pts.reshape(V * K, 3), valid=jmask.reshape(V * K)

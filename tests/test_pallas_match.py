@@ -53,3 +53,35 @@ def test_nn_select_matches_xla_path():
     assert (fx == found_p).all()
     np.testing.assert_allclose(np.asarray(d2_x)[fx], np.asarray(d2_p)[fx], rtol=1e-5)
     np.testing.assert_allclose(np.asarray(tgt_x)[fx], np.asarray(tgt_p)[fx], rtol=1e-5)
+
+
+def test_capture_planar_matches_xla_capture():
+    """The fused capture kernel (interpret mode) must reproduce the XLA
+    top-2-per-voxel capture on the round-3 (V/2, 128) i32 table layout."""
+    from mola_lidar_odometry_tpu.ops import pallas_capture as pc
+
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(-6, 6, (800, 3)).astype(np.float32)
+    m = vh.insert(
+        vh.VoxelHashMap.create(1 << 10, 20, 1.0), PointCloud.from_xyz(jnp.asarray(pts))
+    )
+    assert m.stride == 64
+    n = 24
+    q = jnp.asarray(rng.uniform(-6, 6, (n, 3)).astype(np.float32))
+
+    for nbr in (8, 27):
+        ref = vh.capture(m, q, nbr, per_voxel_nn=True)  # (n, 2P, 3) + mask
+        cx, cy, cz, cm = pc.capture_planar(
+            m.data, m.voxel_size, m.epoch, q, nbr, interpret=True, tile_q=128, K=m.K
+        )
+        # planar layout: (2P, npad) candidate planes, query-major lanes
+        got = np.stack(
+            [np.asarray(cx)[:, :n].T, np.asarray(cy)[:, :n].T, np.asarray(cz)[:, :n].T],
+            axis=-1,
+        )  # (n, 2P, 3)
+        gm = np.asarray(cm)[:, :n].T > 0
+        rm = np.asarray(ref.mask)
+        np.testing.assert_array_equal(gm, rm)
+        np.testing.assert_allclose(
+            got[gm], np.asarray(ref.pts)[rm], rtol=0, atol=1e-6
+        )
