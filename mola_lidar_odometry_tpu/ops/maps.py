@@ -168,6 +168,8 @@ def clear(state):
 
 
 def set_voxel_size(state, voxel_size):
+    if isinstance(state, occupancy.OccupancyMap):
+        return state.set_voxel_size(voxel_size)  # also scales the match grid
     return state._replace(voxel_size=jnp.asarray(voxel_size, jnp.float32))
 
 
@@ -188,8 +190,6 @@ def match_p2p(candset, queries, valid):
         return voxel_hash.nn_from(candset, queries, valid)
     if isinstance(candset, ndt.NdtCandSet):
         return ndt.p2p_from(candset, queries, valid)
-    if isinstance(candset, occupancy.OccCandSet):
-        return occupancy.p2p_from(candset, queries, valid)
     from mola_lidar_odometry_tpu.ops import pallas_match
 
     if isinstance(candset, pallas_match.PlanarCands):
@@ -202,8 +202,6 @@ def match_p2p(candset, queries, valid):
 def match_p2p2(candset, queries, valid):
     if isinstance(candset, voxel_hash.CandSet):
         return voxel_hash.nn2_from(candset, queries, valid)
-    if isinstance(candset, occupancy.OccCandSet):
-        return occupancy.p2p2_from(candset, queries, valid)
     raise TypeError(f"pairingsPerPoint=2 unsupported for {type(candset)}")
 
 

@@ -21,6 +21,21 @@ Log-odds are clamped to [logit(clamp_min), logit(clamp_max)].  The matcher
 side exposes occupied-voxel centers as nearest-neighbor targets — the
 point-layer view mp2p_icp's Matcher_Points_DistanceThreshold sees when the
 global layer is an occupancy voxel map.
+
+**Match index (round 3).**  The reference matcher's NN search is a true
+KD-tree over occupied centers (unbounded radius), but a 27-probe capture at
+the occupancy *resolution* (0.05 m for lidar2d.yaml) only sees ±0.075 m —
+far below the pipeline's annealed match threshold (2sigma, sigma_0 = 1.0),
+so ICP went blind beyond one voxel and the 2D family lost the whole
+inter-frame motion (caught by the round-3 oracle parity test).  The map
+therefore carries a companion ``match`` VoxelHashMap holding occupied-voxel
+CENTERS on a coarse grid (``match_grid_factor`` x resolution): capture
+probes that grid, extending the exact-NN radius to one coarse cell
+(0.4 m by default) at the same fused-gather cost.  Centers enter the index
+when their voxel first crosses the occupied threshold; a voxel that later
+decays back below the threshold leaves a stale center behind (bounded by
+the eviction sweep) — a documented deviation, immaterial for static worlds
+and far smaller than the sampled-ray deviation already documented above.
 """
 
 from __future__ import annotations
@@ -41,12 +56,14 @@ def _logit(p: float) -> float:
 
 
 class OccupancyMap(NamedTuple):
-    """Fixed-capacity log-odds occupancy voxel map."""
+    """Fixed-capacity log-odds occupancy voxel map (+ coarse match index)."""
 
     voxel_size: jax.Array  # () f32
     keys: jax.Array  # (V, 3) i32
     used: jax.Array  # (V,) bool — slot owned (free OR occupied knowledge)
     logodds: jax.Array  # (V,) f32
+    # coarse NN index of occupied-voxel centers (see module docstring)
+    match: "object" = None  # VoxelHashMap
     # insert/likelihood parameters, as scalar pytree leaves (jit-safe)
     l_hit: jax.Array = _logit(0.7)
     l_miss: jax.Array = _logit(0.3)
@@ -67,6 +84,9 @@ class OccupancyMap(NamedTuple):
     def num_voxels(self) -> jax.Array:
         return jnp.sum(self.occupied())
 
+    MATCH_GRID_FACTOR = 8  # coarse match-index cell = factor * resolution
+    MATCH_POINTS_PER_VOXEL = 32
+
     @staticmethod
     def create(
         num_slots: int,
@@ -77,14 +97,23 @@ class OccupancyMap(NamedTuple):
         clamp_min: float = 0.05,
         clamp_max: float = 0.95,
         occupied_threshold: float = 0.6,
+        match_points_per_voxel: int = MATCH_POINTS_PER_VOXEL,
     ) -> "OccupancyMap":
+        from mola_lidar_odometry_tpu.ops.voxel_hash import VoxelHashMap
+
         if num_slots & (num_slots - 1):
             raise ValueError("num_slots must be a power of two")
+        match = VoxelHashMap.create(
+            num_slots,
+            match_points_per_voxel,
+            jnp.asarray(voxel_size, jnp.float32) * OccupancyMap.MATCH_GRID_FACTOR,
+        )
         return OccupancyMap(
             voxel_size=jnp.asarray(voxel_size, jnp.float32),
             keys=jnp.zeros((num_slots, 3), jnp.int32),
             used=jnp.zeros((num_slots,), bool),
             logodds=jnp.zeros((num_slots,), jnp.float32),
+            match=match,
             l_hit=jnp.float32(_logit(prob_hit)),
             l_miss=jnp.float32(_logit(prob_miss)),
             l_min=jnp.float32(_logit(clamp_min)),
@@ -92,14 +121,26 @@ class OccupancyMap(NamedTuple):
             l_occ=jnp.float32(_logit(occupied_threshold)),
         )
 
+    def set_voxel_size(self, voxel_size) -> "OccupancyMap":
+        vs = jnp.asarray(voxel_size, jnp.float32)
+        return self._replace(
+            voxel_size=vs,
+            match=self.match._replace(voxel_size=vs * self.MATCH_GRID_FACTOR),
+        )
+
     def clear(self) -> "OccupancyMap":
         return self._replace(
-            used=jnp.zeros_like(self.used), logodds=jnp.zeros_like(self.logodds)
+            used=jnp.zeros_like(self.used),
+            logodds=jnp.zeros_like(self.logodds),
+            match=self.match.clear(),
         )
 
 
-def _scatter_update(m: OccupancyMap, xyz, valid, delta) -> OccupancyMap:
-    """Claim slots for the touched voxels and scatter-add ``delta`` log-odds."""
+def _scatter_update(m: OccupancyMap, xyz, valid, delta):
+    """Claim slots for the touched voxels and scatter-add ``delta`` log-odds.
+
+    Returns ``(map, slot, accept, pre_occ)`` so the hit pass can detect
+    free->occupied crossings for the match index."""
     V = m.num_slots
     coords = voxel_coords(xyz, m.voxel_size)
     slot = voxel_hash(coords, V)
@@ -108,14 +149,16 @@ def _scatter_update(m: OccupancyMap, xyz, valid, delta) -> OccupancyMap:
     )
     g4 = rows[slot]  # ONE gather of [key3|used] per point
     same_key = jnp.all(g4[:, :3] == coords.astype(jnp.float32), axis=-1)
-    accept, claim_ok = claim_slots(same_key, g4[:, 3] > 0, coords, slot, valid, V)
+    occupied = g4[:, 3] > 0
+    accept, claim_ok = claim_slots(same_key, occupied, coords, slot, valid, V)
+    pre_occ = occupied & same_key & (m.logodds[slot] > m.l_occ)
     # fresh claims start from log-odds 0
     lo = jnp.where(m.used, m.logodds, 0.0)
     lo = lo.at[slot].add(jnp.where(accept, delta, 0.0), mode="drop")
     lo = jnp.clip(lo, m.l_min, m.l_max)
     used = m.used.at[jnp.where(accept, slot, V)].set(True, mode="drop")
     keys = m.keys.at[jnp.where(claim_ok, slot, V)].set(coords, mode="drop")
-    return m._replace(keys=keys, used=used, logodds=lo)
+    return m._replace(keys=keys, used=used, logodds=lo), slot, accept, pre_occ
 
 
 def insert(
@@ -129,6 +172,9 @@ def insert(
     """Insert a scan (global frame); ``sensor_origin`` (3,) is the ray origin
     for the free-space pass.  ``ray_trace``/``max_ray_samples`` are static
     (they shape the program) and come from the MapLayerDef, not the state."""
+    from mola_lidar_odometry_tpu.ops import batched_mem as BM
+    from mola_lidar_odometry_tpu.ops import voxel_hash as vh
+
     if ray_trace:
         origin = (
             jnp.zeros(3, jnp.float32)
@@ -145,65 +191,64 @@ def insert(
         miss_valid = inside & pc.valid[:, None]
         m = _scatter_update(
             m, pts.reshape(-1, 3), miss_valid.reshape(-1), m.l_miss
-        )
-    return _scatter_update(m, pc.xyz, pc.valid, m.l_hit)
+        )[0]
+
+    m2, slot, accept, pre_occ = _scatter_update(m, pc.xyz, pc.valid, m.l_hit)
+    # ---- match-index maintenance: free->occupied crossings ----------------
+    post_occ = accept & (m2.logodds[slot] > m2.l_occ)
+    newly = accept & post_occ & ~pre_occ
+    coords = voxel_coords(pc.xyz, m.voxel_size)
+    centers = (coords.astype(jnp.float32) + 0.5) * m.voxel_size
+    # dedup within the batch: one center per fine voxel (claim by index)
+    n = pc.xyz.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    big = jnp.int32(n)
+    fine_slot = voxel_hash(coords, m.num_slots)
+    winner = BM.table_min(
+        jnp.full((m.num_slots,), big, jnp.int32),
+        fine_slot,
+        jnp.where(newly, idx, big),
+    )
+    w_idx = BM.gather_rows(winner, fine_slot)
+    w_coords = BM.gather_rows(coords, jnp.where(w_idx < big, w_idx, 0))
+    same_as_winner = jnp.all(w_coords == coords, axis=-1)
+    # drop only same-voxel losers; different voxels sharing a scratch slot keep
+    newly = newly & ((w_idx == idx) | ~same_as_winner)
+    match = vh.insert(m2.match, PointCloud.from_xyz(centers, valid=newly))
+    return m2._replace(match=match)
 
 
 def prune_farther_than(m: OccupancyMap, center: jax.Array, distance) -> OccupancyMap:
     """Drop voxels with L1 distance beyond ``distance`` (<=0 disables)."""
+    from mola_lidar_odometry_tpu.ops import voxel_hash as vh
+
     centers = (m.keys.astype(jnp.float32) + 0.5) * m.voxel_size
     l1 = jnp.max(jnp.abs(centers - center), axis=-1)
     keep = (l1 <= distance) | (distance <= 0)
-    return m._replace(used=m.used & keep)
-
-
-class OccCandSet(NamedTuple):
-    """Cached occupied-voxel-center candidates (one fused gather)."""
-
-    ctr: jax.Array  # (N, P, 3) probed voxel centers
-    live: jax.Array  # (N, P) occupied + key match
-
-
-def capture(m: OccupancyMap, queries: jax.Array, neighbors: int = 27) -> OccCandSet:
-    """ONE fused gather of [key3|occupied] rows around ``queries``."""
-    n = queries.shape[0]
-    base = voxel_coords(queries, m.voxel_size)
-    cand = neighbor_coords(queries, base, m.voxel_size, neighbors)  # (N,P,3)
-    slots = voxel_hash(cand, m.num_slots)  # (N, P)
-    occ = m.occupied().astype(jnp.float32)
-    rows = jnp.concatenate([m.keys.astype(jnp.float32), occ[:, None]], axis=-1)
-    g = rows[slots.reshape(-1)].reshape(n, cand.shape[1], 4)
-    live = jnp.all(g[..., :3] == cand.astype(jnp.float32), axis=-1) & (g[..., 3] > 0)
-    ctr = (cand.astype(jnp.float32) + 0.5) * m.voxel_size  # (N, P, 3)
-    return OccCandSet(ctr, live)
-
-
-def _k_from(cand: OccCandSet, queries: jax.Array, k: int):
-    d2 = jnp.where(
-        cand.live, jnp.sum((cand.ctr - queries[:, None, :]) ** 2, axis=-1), jnp.inf
+    return m._replace(
+        used=m.used & keep,
+        match=vh.prune_farther_than(m.match, center, distance),
     )
-    tk, ti = jax.lax.top_k(-d2, k)
-    best_pt = jnp.take_along_axis(cand.ctr, ti[:, :, None], axis=-2)
-    return best_pt, -tk
 
 
-def p2p_from(cand: OccCandSet, queries, valid):
-    pt, d2 = _k_from(cand, queries, 1)
-    found = valid & jnp.isfinite(d2[:, 0])
-    return pt[:, 0], jnp.where(found, d2[:, 0], jnp.inf), found
+def capture(m: OccupancyMap, queries: jax.Array, neighbors: int = 27):
+    """Neighborhood candidates from the coarse match index (occupied-voxel
+    centers in a VoxelHashMap — so the exact-NN radius is one coarse cell,
+    covering the annealed matcher thresholds; see module docstring).
+    Returns a ``voxel_hash.CandSet``; all downstream matching reuses the
+    point-map paths."""
+    from mola_lidar_odometry_tpu.ops import voxel_hash as vh
 
-
-def p2p2_from(cand: OccCandSet, queries, valid):
-    pt, d2 = _k_from(cand, queries, 2)
-    found = valid[:, None] & jnp.isfinite(d2)
-    return pt, jnp.where(found, d2, jnp.inf), found
+    return vh.capture(m.match, queries, neighbors)
 
 
 def query_p2p(
     m: OccupancyMap, queries: jax.Array, valid: jax.Array, *, neighbors: int = 27
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Nearest *occupied* voxel center per query."""
-    return p2p_from(capture(m, queries, neighbors), queries, valid)
+    from mola_lidar_odometry_tpu.ops import voxel_hash as vh
+
+    return vh.nn_from(capture(m, queries, neighbors), queries, valid)
 
 
 def query_p2p2(
@@ -211,4 +256,6 @@ def query_p2p2(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Two nearest occupied voxel centers (pairingsPerPoint=2,
     lidar2d.yaml matcher)."""
-    return p2p2_from(capture(m, queries, neighbors), queries, valid)
+    from mola_lidar_odometry_tpu.ops import voxel_hash as vh
+
+    return vh.nn2_from(capture(m, queries, neighbors), queries, valid)

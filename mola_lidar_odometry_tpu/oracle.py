@@ -172,9 +172,211 @@ class ExactVoxelMap:
             self._tree = cKDTree(self._pts)
         return self._tree, self._pts
 
+    def match_targets(self) -> np.ndarray:
+        """Points the NN matcher pairs against (= stored points)."""
+        return self.points()
+
     def clear(self) -> None:
         self.vox.clear()
         self._tree = None
+
+
+class ExactNdtMap:
+    """Unbounded ``mola::NDT`` semantics in f64: per-voxel Gaussians from
+    voxel-center-relative moments, exact ``np.linalg.eigh`` plane fits, the
+    same plane gate as the TPU engine (n >= 5, lambda_min <=
+    ``max_eigen_ratio`` * lambda_mid — ops/ndt.py:_refresh_planes; reference
+    pipelines/lidar3d-ndt.yaml:236-254)."""
+
+    MIN_POINTS_FOR_PLANE = 5
+
+    def __init__(self, voxel_size: float, max_eigen_ratio: float = 0.05):
+        self.voxel_size = float(voxel_size)
+        self.ratio = float(max_eigen_ratio)
+        # voxel key -> [n, sum(3) rel, sumsq(6) rel packed xx yy zz xy xz yz]
+        self.vox: Dict[Tuple[int, int, int], list] = {}
+        self._derived = None
+
+    def is_empty(self) -> bool:
+        return not self.vox
+
+    def insert(self, pts: np.ndarray) -> None:
+        vs = self.voxel_size
+        keys = np.floor(pts / vs).astype(np.int64)
+        for p, k in zip(pts, map(tuple, keys)):
+            rel = p - (np.asarray(k, np.float64) + 0.5) * vs
+            x, y, z = rel
+            mom = np.array([x * x, y * y, z * z, x * y, x * z, y * z])
+            e = self.vox.get(k)
+            if e is None:
+                self.vox[k] = [1, rel.copy(), mom]
+            else:
+                e[0] += 1
+                e[1] += rel
+                e[2] += mom
+        self._derived = None
+
+    def prune_farther_than(self, center: np.ndarray, dist: float) -> None:
+        if dist <= 0:
+            return
+        vs = self.voxel_size
+        drop = [
+            k
+            for k in self.vox
+            if np.max(np.abs((np.asarray(k, np.float64) + 0.5) * vs - center)) > dist
+        ]
+        for k in drop:
+            del self.vox[k]
+        if drop:
+            self._derived = None
+
+    def clear(self) -> None:
+        self.vox.clear()
+        self._derived = None
+
+    def _refresh(self):
+        """means (global), normals, plane_ok arrays + KD-trees."""
+        from scipy.spatial import cKDTree
+
+        if self._derived is not None:
+            return self._derived
+        vs = self.voxel_size
+        keys = np.asarray(list(self.vox.keys()), np.float64).reshape(-1, 3)
+        n = np.array([e[0] for e in self.vox.values()], np.float64)
+        s = np.stack([e[1] for e in self.vox.values()]) if self.vox else np.zeros((0, 3))
+        ss = np.stack([e[2] for e in self.vox.values()]) if self.vox else np.zeros((0, 6))
+        nf = np.maximum(n, 1.0)[:, None]
+        mean_rel = s / nf
+        means = (keys + 0.5) * vs + mean_rel
+        normals = np.zeros_like(means)
+        ok = np.zeros(len(n), bool)
+        for i in range(len(n)):
+            if n[i] < self.MIN_POINTS_FOR_PLANE:
+                continue
+            mx, my, mz = mean_rel[i]
+            xx, yy, zz, xy, xz, yz = ss[i] / nf[i, 0] - np.array(
+                [mx * mx, my * my, mz * mz, mx * my, mx * mz, my * mz]
+            )
+            C = np.array([[xx, xy, xz], [xy, yy, yz], [xz, yz, zz]])
+            w, V = np.linalg.eigh(C)
+            if w[0] >= -1e-6 and w[0] <= self.ratio * max(w[1], 1e-12):
+                normals[i] = V[:, 0]
+                ok[i] = True
+        tree_all = cKDTree(means) if len(means) else None
+        tree_pl = cKDTree(means[ok]) if ok.any() else None
+        self._derived = (means, normals, ok, tree_all, tree_pl, means[ok], normals[ok])
+        return self._derived
+
+    def match_targets(self) -> np.ndarray:
+        """Point-to-point fallback matches against voxel means
+        (ops/ndt.py:p2p_from)."""
+        return self._refresh()[0]
+
+    def nearest_plane(self, q: np.ndarray):
+        """Nearest plane-gated voxel (by mean distance, like the matcher's
+        argmin over means): returns (mu, normal, found) arrays."""
+        means, normals, ok, _, tree_pl, mpl, npl = self._refresh()
+        N = len(q)
+        mu = np.zeros((N, 3))
+        nrm = np.zeros((N, 3))
+        found = np.zeros(N, bool)
+        if tree_pl is None:
+            return mu, nrm, found
+        d, j = tree_pl.query(q, k=1)
+        found[:] = np.isfinite(d)
+        mu[found] = mpl[j[found]]
+        nrm[found] = npl[j[found]]
+        return mu, nrm, found
+
+
+class ExactOccupancyMap:
+    """Unbounded ``mrpt::maps::CVoxelMap`` semantics in f64: log-odds voxels
+    with ray-traced free space (reference pipelines/lidar2d.yaml:183-198).
+
+    The free-space walk visits each voxel along the beam once (dense samples
+    at ``voxel_size/4`` spacing + per-beam dedup — equivalent to a DDA walk
+    except for corner-clipped voxels with chord < vs/4, which carry
+    negligible evidence either way).  The TPU engine's one-voxel-spaced
+    sampled rays (ops/occupancy.py:insert) are a coarser approximation; the
+    TPU-vs-oracle delta therefore *includes* that documented deviation."""
+
+    def __init__(
+        self,
+        voxel_size: float,
+        *,
+        prob_hit: float = 0.7,
+        prob_miss: float = 0.3,
+        clamp_min: float = 0.05,
+        clamp_max: float = 0.95,
+        occupied_threshold: float = 0.6,
+        ray_trace: bool = True,
+    ):
+        def logit(p):
+            return math.log(p / (1.0 - p))
+
+        self.voxel_size = float(voxel_size)
+        self.l_hit, self.l_miss = logit(prob_hit), logit(prob_miss)
+        self.l_min, self.l_max = logit(clamp_min), logit(clamp_max)
+        self.l_occ = logit(occupied_threshold)
+        self.ray_trace = bool(ray_trace)
+        self.vox: Dict[Tuple[int, int, int], float] = {}
+        self._derived = None
+
+    def is_empty(self) -> bool:
+        return not any(v > self.l_occ for v in self.vox.values())
+
+    def _add(self, key, delta):
+        lo = self.vox.get(key, 0.0) + delta
+        self.vox[key] = min(max(lo, self.l_min), self.l_max)
+
+    def insert(self, pts: np.ndarray, origin: np.ndarray) -> None:
+        vs = self.voxel_size
+        if self.ray_trace and len(pts):
+            d = pts - origin[None, :]
+            rng = np.linalg.norm(d, axis=1)
+            step = vs / 4.0
+            for i in range(len(pts)):
+                lim = rng[i] - 0.5 * vs
+                if lim <= 0:
+                    continue
+                ts = np.arange(step * 0.5, lim, step)
+                sample = origin[None, :] + d[i][None, :] * (ts / rng[i])[:, None]
+                keys = np.floor(sample / vs).astype(np.int64)
+                for k in map(tuple, dict.fromkeys(map(tuple, keys))):
+                    self._add(k, self.l_miss)
+        keys = np.floor(pts / vs).astype(np.int64)
+        for k in map(tuple, keys):
+            self._add(k, self.l_hit)
+        self._derived = None
+
+    def prune_farther_than(self, center: np.ndarray, dist: float) -> None:
+        if dist <= 0:
+            return
+        vs = self.voxel_size
+        drop = [
+            k
+            for k in self.vox
+            if np.max(np.abs((np.asarray(k, np.float64) + 0.5) * vs - center)) > dist
+        ]
+        for k in drop:
+            del self.vox[k]
+        if drop:
+            self._derived = None
+
+    def clear(self) -> None:
+        self.vox.clear()
+        self._derived = None
+
+    def match_targets(self) -> np.ndarray:
+        """Occupied-voxel centers — the point view the matcher sees
+        (ops/occupancy.py module docstring)."""
+        if self._derived is None:
+            occ = [k for k, v in self.vox.items() if v > self.l_occ]
+            ctr = (
+                (np.asarray(occ, np.float64).reshape(-1, 3) + 0.5) * self.voxel_size
+            )
+            self._derived = ctr
+        return self._derived
 
 
 # --------------------------------------------------------------------------
@@ -387,15 +589,25 @@ class OracleOutput:
 class OracleOdometry:
     """Exact-arithmetic twin of models/odometry driven by the same spec."""
 
+    _POINT_CLASSES = (
+        "HashedVoxelPointCloud",
+        "SparseTreesPointCloud",
+        "CPointsMap",
+        "CSimplePointsMap",
+        "CPointsMapXYZI",
+        "CPointsMapXYZIRT",
+    )
+
     def __init__(self, spec: OdometrySpec):
-        if len(spec.map_layers) != 1 or spec.map_layers[0].map_class not in (
-            "HashedVoxelPointCloud",
-            "SparseTreesPointCloud",
-        ):
-            raise ValueError("oracle supports single point-map pipelines")
-        for mc in spec.icp_with_vel.matchers:
-            if mc.kind != "point2point" or mc.pairings_per_point != 1:
-                raise ValueError("oracle supports 1-NN point-to-point matchers")
+        for d in spec.map_layers:
+            if d.map_class not in self._POINT_CLASSES + ("NDT", "CVoxelMap"):
+                raise ValueError(f"oracle: unsupported map class {d.map_class}")
+        for cfg in (spec.icp_with_vel, spec.icp_without_vel):
+            for mc in cfg.matchers:
+                if mc.kind not in ("point2point", "point2plane"):
+                    raise ValueError(f"oracle: unsupported matcher kind {mc.kind}")
+                if mc.kind == "point2point" and mc.pairings_per_point not in (1, 2):
+                    raise ValueError("oracle: pairingsPerPoint must be 1 or 2")
         self.spec = spec
         self.R = np.eye(3)
         self.t = np.zeros(3)
@@ -411,7 +623,7 @@ class OracleOdometry:
         self.last_twist = np.zeros(6)
         self.has_twist = False
         self.nav = ExactNavState(spec.navstate)
-        self.map: Optional[ExactVoxelMap] = None
+        self.maps: Dict[str, object] = {}
         self.lm_kfs: List[Tuple[np.ndarray, np.ndarray]] = []
         self.removal_counter = 0
         self.outputs: List[OracleOutput] = []
@@ -439,21 +651,37 @@ class OracleOdometry:
             "current_relative_timestamp": stamp - (self.first_time or stamp),
         }
 
-    # -- one robust GN update on exact pairings ----------------------------
-    def _gn_step(self, R, t, p_loc, q_map, kernel_c, prior: NavEstimate):
-        tp = p_loc @ R.T + t
-        r = tp - q_map
-        r2 = np.sum(r * r, axis=1)
+    # -- one robust GN update on exact pairing blocks ------------------------
+    # blocks: list of (kind, p_loc (N,3), q (N,3), nrm (N,3)|None, w_layer)
+    def _gn_step(self, R, t, blocks, kernel_c, prior: NavEstimate):
+        H = np.zeros((6, 6))
+        b = np.zeros(6)
         c2 = kernel_c * kernel_c
-        w = (c2 / (r2 + c2)) ** 2
-        K = np.zeros((len(tp), 3, 3))
-        K[:, 0, 1], K[:, 0, 2] = -tp[:, 2], tp[:, 1]
-        K[:, 1, 0], K[:, 1, 2] = tp[:, 2], -tp[:, 0]
-        K[:, 2, 0], K[:, 2, 1] = -tp[:, 1], tp[:, 0]
-        J = np.concatenate([np.broadcast_to(np.eye(3), (len(tp), 3, 3)), -K], axis=2)
-        Jw = J * w[:, None, None]
-        H = np.einsum("nij,nik->jk", Jw, J)
-        b = np.einsum("nij,ni->j", Jw, r)
+        for kind, p_loc, q_map, nrm, w_layer in blocks:
+            if len(p_loc) == 0:
+                continue
+            tp = p_loc @ R.T + t
+            K = np.zeros((len(tp), 3, 3))
+            K[:, 0, 1], K[:, 0, 2] = -tp[:, 2], tp[:, 1]
+            K[:, 1, 0], K[:, 1, 2] = tp[:, 2], -tp[:, 0]
+            K[:, 2, 0], K[:, 2, 1] = -tp[:, 1], tp[:, 0]
+            J3 = np.concatenate(
+                [np.broadcast_to(np.eye(3), (len(tp), 3, 3)), -K], axis=2
+            )
+            if kind == "p2p":
+                r = tp - q_map
+                r2 = np.sum(r * r, axis=1)
+                w = (c2 / (r2 + c2)) ** 2 * w_layer
+                Jw = J3 * w[:, None, None]
+                H += np.einsum("nij,nik->jk", Jw, J3)
+                b += np.einsum("nij,ni->j", Jw, r)
+            else:  # p2pl: scalar residual n . (Tp - q)
+                r = np.sum(nrm * (tp - q_map), axis=1)
+                J = np.einsum("ni,nij->nj", nrm, J3)
+                w = (c2 / (r * r + c2)) ** 2 * w_layer
+                Jw = J * w[:, None]
+                H += np.einsum("ni,nj->ij", Jw, J)
+                b += np.einsum("ni,n->i", Jw, r)
         if prior.valid or np.trace(prior.prior_info) > 0:
             Rr, tr = relative(prior.R, prior.t, R, t)
             rp = se3_log(Rr, tr)
@@ -466,11 +694,90 @@ class OracleOdometry:
         R2, t2 = compose(dR, dt_, R, t)
         return R2, t2, eps
 
+    @staticmethod
+    def _horn(blocks):
+        """Closed-form weighted rigid alignment over the p2p pairings
+        (Solver_Horn; mirrors ops/solver.py:solve_horn in f64)."""
+        ps = [b[1] for b in blocks if b[0] == "p2p" and len(b[1])]
+        qs = [b[2] for b in blocks if b[0] == "p2p" and len(b[1])]
+        if not ps or sum(len(p) for p in ps) < 3:
+            return None
+        p = np.concatenate(ps)
+        q = np.concatenate(qs)
+        pc, qc = p.mean(axis=0), q.mean(axis=0)
+        C = (p - pc).T @ (q - qc)
+        U, _, Vt = np.linalg.svd(C.T)
+        d = np.sign(np.linalg.det(U @ Vt))
+        R = U @ np.diag([1.0, 1.0, d]) @ Vt
+        return R, qc - R @ pc
+
+    # -- exact pairing of every matcher at the current pose ------------------
+    def _match_blocks(self, cfg, layers, R, t, env_it, it: int):
+        """Returns (blocks, paired, n_local) mirroring ops/icp._matcher_blocks
+        with exact (KD-tree over ALL targets) NN search."""
+        from scipy.spatial import cKDTree
+
+        blocks = []
+        paired = 0.0
+        n_local = 0.0
+        for mc in cfg.matchers:
+            c = layers[mc.local_layer]
+            p_loc = c.xyz
+            n_local += len(p_loc)
+            if it < mc.run_from_iteration or (
+                mc.run_up_to_iteration > 0 and it > mc.run_up_to_iteration
+            ):
+                continue
+            thr = _f(mc.threshold(env_it))
+            m = self.maps[mc.global_layer]
+            q = p_loc @ R.T + t
+            if mc.threshold_angular_deg > 0:
+                thr = thr + np.linalg.norm(p_loc, axis=1) * math.sin(
+                    math.radians(mc.threshold_angular_deg)
+                )
+            if mc.kind == "point2plane":
+                mu, nrm, found = m.nearest_plane(q)
+                dpl = np.sum(nrm * (q - mu), axis=1)
+                pv = found & (dpl * dpl < thr * thr)
+                plane_pt = q - dpl[:, None] * nrm
+                blocks.append(("p2pl", p_loc[pv], plane_pt[pv], nrm[pv], mc.weight))
+                paired += float(np.sum(pv))
+                continue
+            targets = m.match_targets()
+            if len(targets) == 0:
+                continue
+            tree = cKDTree(targets)
+            k = mc.pairings_per_point
+            d, j = tree.query(q, k=k)
+            if k == 1:
+                pv = d <= thr
+                if not mc.allow_match_already_matched:
+                    # greedy in-order: lowest-index claimant keeps its global
+                    # point, later claimants drop (ops/icp._one_to_one)
+                    claimed: Dict[int, int] = {}
+                    for i in np.nonzero(pv)[0]:
+                        if j[i] in claimed:
+                            pv[i] = False
+                        else:
+                            claimed[int(j[i])] = i
+                blocks.append(
+                    ("p2p", p_loc[pv], targets[j[pv]], None, mc.weight)
+                )
+                paired += float(np.sum(pv))
+            else:
+                pv2 = d <= (thr[:, None] if np.ndim(thr) else thr)
+                for col in range(k):
+                    sel = pv2[:, col]
+                    blocks.append(
+                        ("p2p", p_loc[sel], targets[j[sel, col]], None, mc.weight)
+                    )
+                paired += float(np.sum(pv2[:, 0]))
+        return blocks, paired, n_local
+
     # -- full ICP with twist-reoptimization restarts ------------------------
     def _icp(self, layers, nav_est: NavEstimate, env, dt_scan: float):
         spec = self.spec
         cfg = spec.icp_with_vel if nav_est.valid else spec.icp_without_vel
-        mc = cfg.matchers[0]
         R = nav_est.R if nav_est.valid else self.R
         t = nav_est.t if nav_est.valid else self.t
         prior = nav_est if nav_est.valid else NavEstimate(
@@ -482,7 +789,6 @@ class OracleOdometry:
                 pin[i, i] = 1e6
             prior = NavEstimate(R, t, prior.twist, True, prior.prior_info + pin)
         last_kf_R, last_kf_t = self.R.copy(), self.t.copy()
-        tree, mpts = self.map.tree()
 
         budget = cfg.max_iterations
         total_iters = 0
@@ -491,30 +797,33 @@ class OracleOdometry:
         hook_on = cfg.hook_min_trans > 0 or cfg.hook_min_rot > 0
         max_corr = spec.optimize_twist_max_corrections if spec.optimize_twist else 0
         dsk = [op for op in spec.filter2 if isinstance(op, FG.DeskewOp)]
+        horn_active = cfg.horn is not None
 
         while True:
             entry_R, entry_t = R.copy(), t.copy()
             hook_fired = False
             it = 0
             while it < budget:
+                # ICP_ITERATION restarts per align() segment, matching the
+                # TPU engine (each hook re-entry is a fresh align call)
                 env_it = dict(env)
                 env_it["ICP_ITERATION"] = float(it)
-                thr = _f(cfg.matchers[0].threshold(env_it))
                 kernel_c = _f(cfg.kernel_param(env_it))
-                p_loc = layers[mc.local_layer].xyz
-                q = p_loc @ R.T + t
-                d, j = tree.query(q, k=1)
-                ok = d <= thr
-                R2, t2, _ = self._gn_step(
-                    R, t, p_loc[ok], mpts[j[ok]], kernel_c, prior
-                )
+                blocks, _, _ = self._match_blocks(cfg, layers, R, t, env_it, it)
+                R2, t2, _ = self._gn_step(R, t, blocks, kernel_c, prior)
                 for _ in range(cfg.gn_inner_iterations - 1):
-                    R2, t2, _ = self._gn_step(
-                        R2, t2, p_loc[ok], mpts[j[ok]], kernel_c, prior
-                    )
-                dRr, dtr = relative(R, t, R2, t2)
-                dtrans = float(np.linalg.norm(t2 - (R @ dtr * 0 + t)))  # see below
-                # step norms: translation delta and rotation angle
+                    R2, t2, _ = self._gn_step(R2, t2, blocks, kernel_c, prior)
+                if horn_active:
+                    # coarse Horn stage until its correction is small
+                    # (Solver_Horn runUntilTranslationCorrectionSmallerThan)
+                    h = self._horn(blocks)
+                    if h is not None:
+                        R2, t2 = h
+                        if (
+                            float(np.linalg.norm(t2 - t))
+                            < cfg.horn.run_until_translation_correction_smaller_than
+                        ):
+                            horn_active = False
                 dtrans = float(np.linalg.norm(t2 - t))
                 drot = float(np.linalg.norm(so3_log(R.T @ R2)))
                 R, t = R2, t2
@@ -552,14 +861,14 @@ class OracleOdometry:
                 continue
             break
 
-        # quality at final pose (paired ratio, final threshold)
+        # quality at final pose (paired ratio over all matchers, final
+        # threshold — QualityEvaluator_PairedRatio, ops/icp.py:586)
         env_q = dict(env)
         env_q["ICP_ITERATION"] = float(total_iters)
-        thr = _f(cfg.matchers[0].threshold(env_q))
-        p_loc = layers[mc.local_layer].xyz
-        q = p_loc @ R.T + t
-        d, _ = tree.query(q, k=1)
-        quality = float(np.mean(d <= thr)) if len(d) else 0.0
+        _, paired, n_local = self._match_blocks(
+            cfg, layers, R, t, env_q, total_iters
+        )
+        quality = paired / max(n_local, 1.0)
         return R, t, quality, total_iters, corr, layers
 
     # -- the per-scan step ---------------------------------------------------
@@ -599,7 +908,7 @@ class OracleOdometry:
 
         nav_est = self.nav.estimate(stamp)
         dt_scan = (stamp - self.last_time) if self.last_time is not None else 0.0
-        map_empty = self.map is None or self.map.is_empty()
+        map_empty = not self.maps or all(m.is_empty() for m in self.maps.values())
 
         if map_empty:
             R, t, quality, iters, corr = self.R, self.t, 1.0, 0, 0
@@ -664,20 +973,43 @@ class OracleOdometry:
         restart = (not accepted) and self.traj_len == 1
         if restart:
             self.traj_len = 0
-            self.map.clear()
+            for m in self.maps.values():
+                m.clear()
             self.lm_kfs.clear()
             update_map = False
 
         if update_map:
-            if self.map is None or map_empty:
-                d = spec.map_layers[0]
-                self.map = ExactVoxelMap(_f(d.voxel_size(env_kf)), d.points_per_voxel)
+            if not self.maps or map_empty:
+                for d in spec.map_layers:
+                    vs = _f(d.voxel_size(env_kf))
+                    if d.map_class == "NDT":
+                        self.maps[d.name] = ExactNdtMap(
+                            vs, d.max_eigen_ratio_for_planes
+                        )
+                    elif d.map_class == "CVoxelMap":
+                        self.maps[d.name] = ExactOccupancyMap(
+                            vs,
+                            prob_hit=d.prob_hit,
+                            prob_miss=d.prob_miss,
+                            clamp_min=d.clamp_min,
+                            clamp_max=d.clamp_max,
+                            occupied_threshold=d.occupied_threshold,
+                            ray_trace=d.ray_trace_free_space,
+                        )
+                    else:
+                        self.maps[d.name] = ExactVoxelMap(vs, d.points_per_voxel)
             for opi in spec.map_inserts:
                 src = layers_f.get(opi.input_layer, icp_layer)
-                self.map.insert(src.xyz @ self.R.T + self.t)
-            prune = _f(spec.map_layers[0].remove_voxels_farther_than(env_kf))
+                m = self.maps[opi.target_map_layer]
+                pts_g = src.xyz @ self.R.T + self.t
+                if isinstance(m, ExactOccupancyMap):
+                    m.insert(pts_g, self.t)
+                else:
+                    m.insert(pts_g)
             self.removal_counter += 1
-            self.map.prune_farther_than(self.t, prune)
+            for d in spec.map_layers:
+                prune = _f(d.remove_voxels_farther_than(env_kf))
+                self.maps[d.name].prune_farther_than(self.t, prune)
             if not map_empty:
                 self.lm_kfs.append((self.R.copy(), self.t.copy()))
             max_keep = _f(lmu.max_distance_to_keep_keyframes(env_kf))
