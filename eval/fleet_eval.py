@@ -42,7 +42,6 @@ def main() -> int:
 
     # 8-probe capture: the bench default, measured accuracy-neutral
     # (docs/benchmarks.md) — env wins if the caller sets it explicitly
-    os.environ.setdefault("MOLA_TPU_NN_NEIGHBORS", "8")
 
     import jax
 

@@ -34,7 +34,6 @@ def main():
     ap.add_argument("--out", default="/tmp/mola_trace")
     args = ap.parse_args()
 
-    os.environ.setdefault("MOLA_TPU_NN_NEIGHBORS", "8")
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.path.join(HERE, ".jax_cache"))

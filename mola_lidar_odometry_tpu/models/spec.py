@@ -255,7 +255,14 @@ def _icp_from_yaml(block: dict, spec_hook: Tuple[float, float]) -> Tuple[IcpConf
         kernel_param=as_expr(kernel),
         gn_inner_iterations=int(float(gn.get("maxIterations", 2))),
         horn=horn,
-        nn_neighbors=int(os.environ.get("MOLA_TPU_NN_NEIGHBORS", 27)),
+        # 8-probe (nearest 2x2x2 corner block) is the SHIPPED default since
+        # round 3: the full oracle-parity suite (default/ndt/lidar2d
+        # families + the 8 m/s street regime) passes the reference 0.1
+        # per-pose gate and the 1% ATE budget identically at 8 and 27
+        # probes (tests/test_oracle_parity.py run under both), and the
+        # capture gather — the step's costliest instruction — shrinks 3.4x.
+        # 27 restores the full 3x3x3 footprint (exact within one voxel).
+        nn_neighbors=int(os.environ.get("MOLA_TPU_NN_NEIGHBORS", 8)),
         anderson_m=int(os.environ.get("MOLA_TPU_ICP_ANDERSON", 0)),
         use_pallas=_pallas_default(),
         per_voxel_nn=_pvnn_default(),
