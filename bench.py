@@ -153,7 +153,8 @@ def main():
     _Gk = _se3.Pose(jnp.asarray(_traj.R[-1], jnp.float32), jnp.asarray(_traj.t[-1], jnp.float32))
     _est = _se3.Pose(jnp.asarray(carry_end.pose_R[0]), jnp.asarray(carry_end.pose_t[0]))
     gt_err = float(jnp.linalg.norm(_se3.se3_log(_se3.relative(_se3.relative(_G0, _Gk), _est))))
-    assert gt_err < 0.5, "GT drift regressed: %.3f" % gt_err
+    # measured 0.178 in round 2; 0.25 keeps ~40% headroom (was 0.5)
+    assert gt_err < 0.25, "GT drift regressed: %.3f" % gt_err
     log(f"final-pose GT error: {gt_err:.3f}")
     assert nmax < 2560, f"decimated_for_icp saturated: {nmax}"
     mmax = int(np.asarray(nmap).max())

@@ -69,11 +69,11 @@ def test_every_pose_within_tolerance(odometry_run):
         err = se3_log_error(R_est, tr["t"][k], R_gt, t_gt)
         worst = max(worst, err)
     # Tolerance note: the reference gate is 0.1 on a real 64-beam KITTI
-    # fragment.  Point-to-point NN matching on synthetic glass-flat ground is
-    # strictly harder (the sensor-anchored ring pattern pulls the solution
-    # backward; real ground texture breaks this), so the default-p2p pipeline
-    # is gated at 0.2 here; the point-to-plane pipeline test is gated at 0.1.
-    assert worst < 0.2, f"worst SE(3) log-norm error {worst}"
+    # fragment.  Point-to-point NN matching on a synthetic world is harder
+    # (sparser rings, repetitive boxes), so the gate carries ~30% headroom
+    # over the measured 0.091 (round-3, 8-probe default) instead of the
+    # reference's exact 0.1 — tightened from round-2's 0.2 per VERDICT #4.
+    assert worst < 0.12, f"worst SE(3) log-norm error {worst}"
 
 
 def test_quality_and_keyframes(odometry_run):
@@ -127,9 +127,10 @@ def test_long_horizon_drift():
         final_err = float(jnp.linalg.norm(jnp.asarray(rel.t)))
     assert path_len > 8.0  # the trajectory actually moved
     drift_pct = 100.0 * final_err / path_len
-    # KITTI-class LO achieves ~0.5-1%; the synthetic world is harder (sparse
-    # rings, repetitive boxes) — gate at 5% to catch real regressions
-    assert drift_pct < 5.0, f"drift {drift_pct:.2f}% over {path_len:.1f} m"
+    # KITTI-class LO achieves ~0.5-1%; measured here: 1.13% over 11 m at
+    # 6 m/s on the sparse synthetic world (round 3).  Gate at 1.5% —
+    # reference-class with margin (tightened from round-2's 5%).
+    assert drift_pct < 1.5, f"drift {drift_pct:.2f}% over {path_len:.1f} m"
 
 
 def test_large_absolute_timestamps():
