@@ -367,19 +367,52 @@ class ParisLucoDataset(OfflineDataset):
         return LidarFrame(stamp=i * 0.1, xyz=xyz, times=times)
 
 
-class RawlogDataset(OfflineDataset):  # pragma: no cover - optional dep
-    """MRPT .rawlog reader — requires the (optional) mrpt python bindings,
-    like the reference's HAVE_MOLA_INPUT_RAWLOG gate."""
+class RawlogDataset(OfflineDataset):
+    """MRPT ``.rawlog`` reader — native pure-Python CArchive parsing
+    (utils/mrpt_io.py), replacing the reference's mola_input_rawlog module
+    (apps/mola-lidar-odometry-cli.cpp:404-410).  Supports observations-only
+    and sensory-frame rawlogs carrying CObservationPointCloud /
+    CObservation2DRangeScan entries; classes outside that set raise (MRPT
+    streams carry no length framing, so unknown objects cannot be skipped —
+    the format envelope is pinned in docs/mrpt_format.md)."""
 
     def __init__(self, path: str):
-        try:
-            import pymrpt  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "rawlog input needs the 'pymrpt' bindings, which are not "
-                "installed in this environment (reference gates this behind "
-                "HAVE_MOLA_INPUT_RAWLOG)"
-            ) from e
+        from mola_lidar_odometry_tpu.utils import mrpt_io as M
+
+        self.frames = M.read_rawlog(path)
+
+    def __len__(self) -> int:
+        return len(self.frames)
+
+    def get(self, i: int) -> LidarFrame:
+        from mola_lidar_odometry_tpu.utils import mrpt_io as M
+
+        obs = None
+        for o in self.frames[i]:
+            if o.points is not None or o.scan_ranges is not None:
+                obs = o
+                break
+        if obs is None:
+            raise ValueError(f"rawlog frame {i} carries no supported scan")
+        if obs.points is not None:
+            xyz = np.asarray(obs.points, np.float32)
+        else:
+            # project the 2D scan into sensor-frame points (valid rays only)
+            n = len(obs.scan_ranges)
+            span = obs.aperture
+            a0 = -span / 2.0
+            ang = a0 + span * (np.arange(n) + 0.5) / n
+            if not obs.right_to_left:
+                ang = ang[::-1]
+            rr = np.asarray(obs.scan_ranges, np.float32)
+            ok = np.asarray(obs.scan_validity, bool) & (rr > 0)
+            xyz = np.stack(
+                [rr * np.cos(ang), rr * np.sin(ang), np.zeros(n)], axis=1
+            )[ok].astype(np.float32)
+        if obs.sensor_pose is not None:
+            R = obs.sensor_pose.R().astype(np.float32)
+            xyz = xyz @ R.T + np.asarray(obs.sensor_pose.t, np.float32)
+        return LidarFrame(stamp=float(obs.stamp), xyz=xyz, label=obs.sensor_label or "lidar")
 
 
 class Rosbag2Dataset(OfflineDataset):

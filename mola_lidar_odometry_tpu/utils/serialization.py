@@ -148,3 +148,97 @@ def load_simplemap(path: Union[str, Path]) -> List:
             )
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# MRPT-binary interop (reference-toolchain consumable; utils/mrpt_io.py)
+# ---------------------------------------------------------------------------
+
+
+def export_simplemap_mrpt(path: Union[str, Path], keyframes: List) -> None:
+    """Write the keyframe list as an MRPT ``.simplemap`` (gzip CArchive),
+    the container the reference ecosystem's sm2mm / mm-viewer / loop-closure
+    tools consume (reference module/src/LidarOdometry.cpp:1865-1904)."""
+    from mola_lidar_odometry_tpu.utils import mrpt_io as M
+
+    entries = []
+    for kf in keyframes:
+        q = np.asarray(kf.quat_xyzw, np.float64)
+        pose = M.MrptPose3D(
+            np.asarray(kf.t, np.float64),
+            np.array([q[3], q[0], q[1], q[2]]),  # xyzw -> wxyz
+        )
+        obs = []
+        scan = kf.scan_xyz
+        if scan is None and kf.scan_path and Path(kf.scan_path).exists():
+            scan = np.fromfile(kf.scan_path, np.float32).reshape(-1, 3)
+        if scan is not None:
+            obs.append(
+                M.MrptObservation(
+                    classname="CObservationPointCloud",
+                    sensor_label="lidar",
+                    stamp=float(kf.stamp),
+                    sensor_pose=M.MrptPose3D(np.zeros(3), np.array([1.0, 0, 0, 0])),
+                    points=np.asarray(scan, np.float32),
+                )
+            )
+        entries.append(
+            M.MrptSimpleMapEntry(
+                pose=pose,
+                cov=np.zeros((6, 6)),
+                observations=obs,
+                twist=np.asarray(kf.twist, np.float64),
+            )
+        )
+    M.save_simplemap_mrpt(path, entries)
+
+
+def import_simplemap_mrpt(path: Union[str, Path]) -> List:
+    """Read an MRPT ``.simplemap`` back into SimpleMapKeyframe objects."""
+    from mola_lidar_odometry_tpu.models.odometry import SimpleMapKeyframe
+    from mola_lidar_odometry_tpu.utils import mrpt_io as M
+
+    out = []
+    for e in M.load_simplemap_mrpt(path):
+        q = e.pose.quat_wxyz
+        scan = None
+        stamp = 0.0
+        for o in e.observations:
+            stamp = o.stamp or stamp
+            if o.points is not None:
+                scan = o.points
+        out.append(
+            SimpleMapKeyframe(
+                stamp=stamp,
+                t=np.asarray(e.pose.t),
+                quat_xyzw=np.array([q[1], q[2], q[3], q[0]]),
+                twist=np.asarray(e.twist if e.twist is not None else np.zeros(6)),
+                scan_xyz=scan,
+            )
+        )
+    return out
+
+
+def export_metric_map_mrpt(path: Union[str, Path], maps, capacity: int = 1 << 20) -> None:
+    """Write the local map as an mp2p_icp ``.mm`` (gzip CArchive): each
+    layer flattened to its point view (voxel contents / NDT means /
+    occupied centers)."""
+    from mola_lidar_odometry_tpu.ops import maps as maps_ops
+    from mola_lidar_odometry_tpu.utils import mrpt_io as M
+
+    if not isinstance(maps, dict):
+        maps = {"localmap": maps}
+    layers = {}
+    for name, m in maps.items():
+        pc = maps_ops.as_pointcloud(m, capacity)
+        xyz = np.asarray(pc.xyz)
+        valid = np.asarray(pc.valid)
+        layers[name] = (xyz[valid].astype(np.float32), None)
+    M.save_metric_map_mrpt(path, layers)
+
+
+def import_metric_map_mrpt(path: Union[str, Path]):
+    """Read an mp2p_icp ``.mm`` into {layer: (N,3) points} arrays."""
+    from mola_lidar_odometry_tpu.utils import mrpt_io as M
+
+    return {k: pts for k, (pts, _) in M.load_metric_map_mrpt(path).items()}
