@@ -119,14 +119,31 @@ class LidarOdometry:
 
     # -- construction ------------------------------------------------------
     @staticmethod
+    def _build(cfg, overrides) -> "LidarOdometry":
+        import os as _os
+
+        # capacity auto-sizing (utils/capacity.py): active when the caller
+        # pinned nothing — neither explicit overrides nor the env knobs.
+        auto = overrides.pop("auto_capacity", None)
+        if auto is None:
+            auto = not (
+                {"raw_capacity", "map_slots", "layer_capacities"} & overrides.keys()
+                or "MOLA_TPU_RAW_CAPACITY" in _os.environ
+                or "MOLA_TPU_MAP_SLOTS" in _os.environ
+            )
+        lo = LidarOdometry(spec_from_yaml(cfg, **overrides))
+        if auto:
+            lo._auto_cfg = (cfg, dict(overrides))
+            lo._step = None  # defer the jit: sizes resolve on the first scan
+        return lo
+
+    @staticmethod
     def from_yaml_file(path: Union[str, Path], env=None, **overrides) -> "LidarOdometry":
-        cfg = load_yaml_file(path, env=env)
-        return LidarOdometry(spec_from_yaml(cfg, **overrides))
+        return LidarOdometry._build(load_yaml_file(path, env=env), overrides)
 
     @staticmethod
     def from_yaml_text(text: str, env=None, **overrides) -> "LidarOdometry":
-        cfg = load_yaml_text(text, env=env)
-        return LidarOdometry(spec_from_yaml(cfg, **overrides))
+        return LidarOdometry._build(load_yaml_text(text, env=env), overrides)
 
     # -- lifecycle ---------------------------------------------------------
     def reset(self) -> None:
@@ -148,18 +165,45 @@ class LidarOdometry:
         self._kf_counter = 0
         self.frames_processed = 0
         self.frames_dropped = 0
+        self._drop_window: List[tuple] = []  # (collision_drops, inserts)
+        self._capacity_warned = False
         # reset() is the reference's full re-initialization: a fatal-error
         # latch from a previous run clears here (LidarOdometry.cpp:495-501)
         self._fatal_error = False
 
     # -- observation dispatch (reference onNewObservation :503-603) --------
-    def _ensure_step(self, first_xyz: "np.ndarray") -> None:
-        """Resolve pin_se2=None (auto) from the first scan's planarity and
-        compile the step (reference LidarOdometry.cpp:863-876: SE(2) pinning
-        is keyed on the observation being a 2D range scan)."""
+    def _ensure_step(self, first_xyz: "np.ndarray", first_times=None) -> None:
+        """First-scan spec finalization, before the first jit:
+
+        * capacity auto-sizing — a host-side dry pass over the first scan
+          derives every layer capacity and the map hash size
+          (utils/capacity.py; VERDICT-7 sizing policy);
+        * pin_se2=None (auto) resolves from the scan's planarity (reference
+          LidarOdometry.cpp:863-876: SE(2) pinning is keyed on the
+          observation being a 2D range scan).
+        """
         if self._step is not None:
             return
         import dataclasses
+
+        if getattr(self, "_auto_cfg", None) is not None:
+            from mola_lidar_odometry_tpu.utils.capacity import derive_capacities
+
+            cfg, overrides = self._auto_cfg
+            raw_cap, map_slots, layer_caps = derive_capacities(
+                self.spec, first_xyz, first_times
+            )
+            self.spec = spec_from_yaml(
+                cfg,
+                raw_capacity=raw_cap,
+                map_slots=map_slots,
+                layer_capacities=layer_caps,
+                **overrides,
+            )
+            self._auto_cfg = None
+            # no scan has been processed yet: rebuild the carry at the
+            # derived shapes
+            self.carry = step_mod.init_carry(self.spec)
 
         z = np.asarray(first_xyz)[:, 2] if len(first_xyz) else np.zeros(1)
         planar = bool(np.max(np.abs(z)) < 1e-6) if z.size else False
@@ -280,8 +324,8 @@ class LidarOdometry:
             if self._stamp0 is None:
                 self._stamp0 = float(stamp)
             stamp = float(stamp) - self._stamp0
+            self._ensure_step(xyz, times)
             scan = self._pad_scan(xyz, stamp, times, intensity, ring)
-            self._ensure_step(xyz)
             if self._icp_log is not None and self._icp_log.want_frame():
                 self._write_icp_log(scan)
             with self.profiler.enter("onLidar"):
@@ -375,6 +419,33 @@ class LidarOdometry:
             self.frames_dropped += 1
             return
         self.frames_processed += 1
+
+        # capacity-saturation watchdog (VERDICT-7): collision drops beyond
+        # 0.1% of inserts in a rolling window mean map_slots is undersized
+        # for this world — warn instead of silently degrading.
+        self._drop_window.append(
+            (int(out.map_collision_drops), max(int(out.n_map_layer), 1))
+        )
+        if len(self._drop_window) > 32:
+            self._drop_window.pop(0)
+        drops = sum(d for d, _ in self._drop_window)
+        inserts = sum(n for _, n in self._drop_window)
+        if (
+            len(self._drop_window) >= 8  # let the window fill first
+            and drops > 0.001 * inserts
+            and not self._capacity_warned
+        ):
+            self._capacity_warned = True
+            import logging
+
+            logging.getLogger("mola_lidar_odometry_tpu").warning(
+                "map hash collision drops %.2f%% of inserts over the last %d "
+                "frames (map_slots=%d undersized for this world; grow it or "
+                "use capacity auto-sizing)",
+                100.0 * drops / max(inserts, 1),
+                len(self._drop_window),
+                self.spec.map_layers[0].num_slots,
+            )
 
         if bool(out.map_restarted):
             self.trajectory.clear()

@@ -22,12 +22,13 @@ the planar ``(plane, P, npad)`` arrangement the fused align kernel
 (ops/pallas_icp.py) keeps in VMEM — no transposes outside the kernel.
 
 Data layout contract (ops/voxel_hash.py, round-3 storage): the table is
-``(V/2, 128) int32`` with TWO logical slots per physical row (stride=64
-windows).  A slot window is ``[pkey | state | x*K | y*K | z*K]`` where
-``pkey`` is the wrapped 12|12|8-bit voxel key, ``state`` packs
-``epoch<<16 | count``, and points are f32 bit patterns.  The kernel
-gathers full rows and selects each probe's 64-lane half by the slot's
-parity, passed alongside the gather.
+``(V/2, 128) int32`` with TWO slot windows per physical row = one 2-way
+BUCKET (stride-64 windows).  A slot window is ``[pkey | state | x*K | y*K
+| z*K]`` where ``pkey`` is the wrapped 12|12|8-bit voxel key, ``state``
+packs ``epoch<<16 | count``, and points are f32 bit patterns.  The kernel
+gathers full bucket rows and selects the way whose live pkey matches the
+probe's expected key — the same VPU compare it already did for the key
+check, so associativity is free here too.
 
 Semantics match ``voxel_hash.capture(..., per_voxel_nn=True)`` exactly:
 the reference behavior served is the KD-tree NN search inside
@@ -53,11 +54,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _make_kernel(K: int, P: int, TQ: int, neighbors: int):
-    def kernel(sp_ref, g_ref, q_ref, par_ref, out_ref):
+    def kernel(sp_ref, g_ref, q_ref, out_ref):
         # sp_ref: (1, 8) f32 SMEM [voxel_size, inv_voxel_size, epoch16, ...]
-        # g_ref:  (P, TQ, 128) VMEM i32 — full table rows, all probes of tile
+        # g_ref:  (P, TQ, 128) VMEM i32 — bucket rows, all probes of tile
         # q_ref:  (8, TQ) VMEM f32 — query planes [x; y; z; pad...]
-        # par_ref:(P, TQ) VMEM i32 — slot parity (which 64-lane half)
         # out_ref:(8, P, TQ) VMEM f32 — planes [x1,y1,z1,m1,x2,y2,z2,m2]
         inv_vs = sp_ref[0, 1]
         epoch16 = sp_ref[0, 2]
@@ -81,15 +81,6 @@ def _make_kernel(K: int, P: int, TQ: int, neighbors: int):
         # STATIC unrolled probe loop: every slice below is compile-time
         for p in range(P):
             rt = jnp.transpose(g_ref[p])  # (128, TQ) i32 — XLU transpose
-            par = par_ref[p : p + 1, :]  # (1, TQ) i32
-            half = jnp.where(par == 1, rt[64:128], rt[0:64])  # (64, TQ)
-            pkey = half[0:1]  # (1, TQ) i32
-            state = half[1:2]
-            cnt = (state & 0xFFFF).astype(jnp.float32)
-            ep_ok = ((state >> 16) & 0xFFFF).astype(jnp.float32) == epoch16
-            xs = jax.lax.bitcast_convert_type(half[2 : 2 + K], jnp.float32)
-            ys = jax.lax.bitcast_convert_type(half[2 + K : 2 + 2 * K], jnp.float32)
-            zs = jax.lax.bitcast_convert_type(half[2 + 2 * K : 2 + 3 * K], jnp.float32)
 
             if neighbors == 27:
                 # _OFFS27 order: dx major, dz minor
@@ -111,8 +102,22 @@ def _make_kernel(K: int, P: int, TQ: int, neighbors: int):
             iy = ey.astype(jnp.int32) & 4095
             iz = ez.astype(jnp.int32) & 255
             pk_exp = (ix << 20) | (iy << 8) | iz
-            key_ok = pkey == pk_exp
-            live = key_ok & ep_ok & (cnt > 0)
+
+            # 2-way bucket: pick the 64-lane way whose live pkey matches
+            lo, hi = rt[0:64], rt[64:128]
+
+            def way_ok(h):
+                ep = ((h[1:2] >> 16) & 0xFFFF).astype(jnp.float32) == epoch16
+                return (h[0:1] == pk_exp) & ep
+
+            ok_lo, ok_hi = way_ok(lo), way_ok(hi)
+            half = jnp.where(ok_hi, hi, lo)  # (64, TQ)
+            state = half[1:2]
+            cnt = (state & 0xFFFF).astype(jnp.float32)
+            xs = jax.lax.bitcast_convert_type(half[2 : 2 + K], jnp.float32)
+            ys = jax.lax.bitcast_convert_type(half[2 + K : 2 + 2 * K], jnp.float32)
+            zs = jax.lax.bitcast_convert_type(half[2 + 2 * K : 2 + 3 * K], jnp.float32)
+            live = (ok_lo | ok_hi) & (cnt > 0)
             kmask = live & (k_iota < cnt)
 
             dx = xs - qx
@@ -163,8 +168,7 @@ def capture_planar(
     from mola_lidar_odometry_tpu.ops.voxel_hash import neighbor_coords
     from mola_lidar_odometry_tpu.ops import batched_mem as BM
 
-    rows = data.shape[0]
-    V = rows * 2  # stride-64 windows: two logical slots per physical row
+    NB = data.shape[0]  # one 2-way bucket per physical row (stride 64)
     n = queries.shape[0]
     TQ = min(tile_q, _round_up(max(n, 128), 128))
     npad = _round_up(max(n, TQ), TQ)
@@ -173,13 +177,10 @@ def capture_planar(
     base = voxel_coords(q, voxel_size)
     cand = neighbor_coords(q, base, voxel_size, neighbors)  # (npad, P, 3)
     P = cand.shape[1]
-    slots = voxel_hash(cand, V)  # (npad, P)
-    slots_pm = jnp.swapaxes(slots, 0, 1)  # (P, npad) probe-major
+    buckets = voxel_hash(cand, NB)  # (npad, P)
+    buckets_pm = jnp.swapaxes(buckets, 0, 1)  # (P, npad) probe-major
     # probe-major gather: rows arrive grouped by p, queries contiguous
-    g = BM.gather_rows(data, (slots_pm >> 1).reshape(-1)).reshape(
-        P, npad, 128
-    )
-    par = (slots_pm & 1).astype(jnp.int32)  # (P, npad)
+    g = BM.gather_rows(data, buckets_pm.reshape(-1)).reshape(P, npad, 128)
     q8 = jnp.pad(jnp.swapaxes(q, 0, 1), [(0, 5), (0, 0)])  # (8, npad)
 
     sp = jnp.stack(
@@ -199,12 +200,11 @@ def capture_planar(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((P, TQ, 128), lambda j: (0, j, 0)),
             pl.BlockSpec((8, TQ), lambda j: (0, j)),
-            pl.BlockSpec((P, TQ), lambda j: (0, j)),
         ],
         out_specs=pl.BlockSpec((8, P, TQ), lambda j: (0, 0, j)),
         out_shape=jax.ShapeDtypeStruct((8, P, npad), jnp.float32),
         interpret=interpret,
-    )(sp, g, q8, par)
+    )(sp, g, q8)
 
     # planes -> (2P, npad): top-1 block over top-2 block, plain concats
     cx = jnp.concatenate([out[0], out[4]], axis=0)

@@ -36,16 +36,30 @@ docs/benchmarks.md):
   lane slice of the gathered row — the fused Pallas capture kernel
   (ops/pallas_capture.py) slices lanes without strided shuffles.
 
+**Set-associative buckets (round 3).**  A direct-mapped table drops every
+point of the voxel that loses a slot to a different voxel — measured at
+0.8-3% of inserts at practical load factors, far above the 0.1% budget.
+Because one physical 128-lane row already holds ``W = 128/stride`` slot
+windows (W=2 at the default K=20), the row IS a W-way bucket for free:
+voxels hash to a BUCKET (= one row), insert claims any stale way, and
+capture key-matches against every way of the row it already gathered —
+identical gather/scatter traffic, and the drop probability falls from
+``live/V`` to ``P(>=2 other voxels in my bucket)`` ~ ``(live·W/V)²/2``
+(~0.03% at the auto-sized load).  ``W`` is 1 for strides >= 128.
+
 Insertion is fully parallel, atomics-free and SORT-FUSED: one
-lexicographic (slot, idx) sort groups each slot's valid points with the
-first-come point at the run head (the reference's claim winner for empty
-slots); per-slot ranks come from segmented scans in the sorted domain; the
+lexicographic (bucket, pkey, idx) sort groups each voxel's valid points
+contiguously (first-come point at the subrun head); per-voxel ranks and
+per-bucket way claims come from segmented scans in the sorted domain; the
 table update is ONE flat element scatter of 5 words per stored point
-(x, y, z, pkey, state) — all points of a run write identical pkey/state
-values, so duplicate scatter ordering cannot change state.  Measured on
-this v5e: scatters cost ~6 ns per (masked or live) element with no
-per-instruction floor, so fewer static elements per point is the whole
-game (8 -> 5 here, and no layout round-trip).
+(x, y, z, pkey, state) — all points of a subrun write identical
+pkey/state values, so duplicate scatter ordering cannot change state.
+Measured on this v5e: scatters cost ~6 ns per (masked or live) element
+with no per-instruction floor, so fewer static elements per point is the
+whole game (8 -> 5 here, and no layout round-trip).  Ways inside a bucket
+are claimed in pkey order rather than strict arrival order (the sort
+groups by pkey) — only observable when a bucket overflows, where the
+reference (unbounded map) has no analogue at all.
 
 Queries probe either the full 3x3x3 neighborhood (27 voxels, exact within
 one voxel radius — the reference-parity default) or the 2x2x2 corner block
@@ -163,6 +177,15 @@ class VoxelHashMap:
         return self.data.shape[-2] * 128 // self.stride
 
     @property
+    def ways(self) -> int:
+        """Slot windows per 128-lane row = bucket associativity (W)."""
+        return max(128 // self.stride, 1)
+
+    @property
+    def num_buckets(self) -> int:
+        return self.num_slots // self.ways
+
+    @property
     def points_per_voxel(self) -> int:
         return self.K
 
@@ -238,33 +261,22 @@ def _window_base(m: VoxelHashMap, slot: jax.Array) -> jax.Array:
     return slot * m.stride
 
 
-def _gather_windows(m: VoxelHashMap, slot: jax.Array) -> jax.Array:
-    """(n, stride) i32 slot windows via row gathers + in-register selects.
+def _gather_buckets(m: VoxelHashMap, bucket: jax.Array) -> jax.Array:
+    """(n, W * stride) i32 — ALL ways of each bucket, via row gathers.
 
-    Row gathers are row-count bound and width-free on this chip, so we
-    always gather full 128-lane rows and select the slot's window from
-    registers (strides < 128), or gather stride/128 rows (strides > 128).
+    Row gathers are row-count bound and width-free on this chip, so a
+    bucket (= one physical 128-lane row for strides <= 128) costs the same
+    gather as a single window; strides > 128 gather stride/128 rows.
     """
     from mola_lidar_odometry_tpu.ops import batched_mem as BM
 
     s = m.stride
-    if s == 128:
-        return BM.gather_rows(m.data, slot)
-    if s < 128:
-        spr = 128 // s  # slots per row
-        shift = spr.bit_length() - 1
-        g = BM.gather_rows(m.data, slot >> shift)  # (n, 128)
-        sub = slot & (spr - 1)
-        while spr > 1:
-            half = g.shape[-1] // 2
-            hi_bit = (sub >> (spr.bit_length() - 2)) & 1
-            g = jnp.where((hi_bit == 1)[..., None], g[..., half:], g[..., :half])
-            spr //= 2
-        return g
-    rpp = s // 128  # rows per slot
-    idx = (slot[:, None] * rpp + jnp.arange(rpp, dtype=jnp.int32)[None]).reshape(-1)
+    if s <= 128:
+        return BM.gather_rows(m.data, bucket)  # (n, 128) = W windows
+    rpp = s // 128  # rows per slot (W == 1)
+    idx = (bucket[:, None] * rpp + jnp.arange(rpp, dtype=jnp.int32)[None]).reshape(-1)
     g = BM.gather_rows(m.data, idx)
-    return g.reshape(slot.shape[0], s)
+    return g.reshape(bucket.shape[0], s)
 
 
 def claim_slots(
@@ -338,73 +350,87 @@ def insert(m: VoxelHashMap, pc: PointCloud) -> VoxelHashMap:
 def insert_stats(m: VoxelHashMap, pc: PointCloud) -> Tuple[VoxelHashMap, InsertStats]:
     """Insert + capacity-pressure counters (see :class:`InsertStats`).
 
-    Fully sort-fused: ONE lexicographic (slot, idx) sort groups each
-    slot's valid points with the first-come point at the run head, which
-    IS the reference's claim winner for empty slots — so claim
-    resolution, per-slot arrival ranks (segmented prefix sums), and the
-    stats all happen in the sorted domain with no claim table and no
-    winner gathers.  Voxel identity in the sorted domain is the exact
-    wrapped ``pkey`` riding through the sort.
+    Fully sort-fused: ONE lexicographic (bucket, pkey, idx) sort groups
+    each voxel's valid points contiguously (first-come point at the
+    subrun head), so existing-way matching, free-way claiming (per-bucket
+    segmented rank over claiming subruns), per-voxel arrival ranks, and
+    the stats all happen in the sorted domain with no claim table and no
+    winner gathers.
 
     The table update is ONE flat element scatter of 5 i32 words per
     stored point: x, y, z (f32 bits) into the planar point lanes, plus
-    the slot's pkey and final state — every stored point of a run writes
-    the IDENTICAL pkey/state words (the run's final count), so duplicate
-    scatter ordering cannot change the result.  Elements are ~6 ns each
-    on this chip with no per-instruction floor (eval/micro_insert.py), so
-    the static element count per point is the entire cost.
+    the way's pkey and final state — every stored point of a subrun
+    writes the IDENTICAL pkey/state words (the subrun's final count), so
+    duplicate scatter ordering cannot change the result.  Elements are
+    ~6 ns each on this chip with no per-instruction floor
+    (eval/micro_insert.py), so the static element count per point is the
+    entire cost.
     """
-    V, K = m.num_slots, m.K
+    V, K, W = m.num_slots, m.K, m.ways
+    NB = m.num_buckets
     n = pc.capacity
+    s = m.stride
 
     from mola_lidar_odometry_tpu.ops import batched_mem as BM
 
     coords = voxel_coords(pc.xyz, m.voxel_size)  # (n, 3)
-    slot = voxel_hash(coords, V)  # (n,)
+    bucket = voxel_hash(coords, NB)  # (n,)
     pkey = pack_key(coords)
 
-    # ONE sort: (slot | V-for-invalid, input idx) lexicographic, pkey rides
-    sort_key = jnp.where(pc.valid, slot, jnp.int32(V))
+    # ONE sort: (bucket | NB-for-invalid, pkey, input idx) lexicographic
+    sort_key = jnp.where(pc.valid, bucket, jnp.int32(NB))
     pos = jnp.arange(n, dtype=jnp.int32)
-    skey, sidx, spk = jax.lax.sort([sort_key, pos, pkey], num_keys=2)
-    s_valid = skey < V
-    s_slot = jnp.where(s_valid, skey, 0)
+    sb, spk, sidx = jax.lax.sort([sort_key, pkey, pos], num_keys=3)
+    s_valid = sb < NB
+    s_bucket = jnp.where(s_valid, sb, 0)
 
-    # slot state gathered in the SORTED domain (full-row gather + select)
-    g = _gather_windows(m, s_slot)  # (n, stride)
-    row_pkey, state = g[:, 0], g[:, 1]
-    fresh = s_valid & (((state >> 16) & 0xFFFF) == m._epoch16)
-    occupied = fresh  # a fresh slot always has count >= 1
-    same_key = occupied & (row_pkey == spk)
-    cnt_at = jnp.where(fresh, state & 0xFFFF, 0)
+    # bucket rows gathered in the SORTED domain: all W ways per point
+    g = _gather_buckets(m, s_bucket)  # (n, W*s)
+    pk_w = jnp.stack([g[:, w * s] for w in range(W)], axis=-1)  # (n, W)
+    st_w = jnp.stack([g[:, w * s + 1] for w in range(W)], axis=-1)
+    fresh_w = ((st_w >> 16) & 0xFFFF) == m._epoch16  # (n, W)
+    match_w = fresh_w & (pk_w == spk[:, None]) & s_valid[:, None]
+    any_match = jnp.any(match_w, axis=-1)
+    widx = jnp.arange(W, dtype=jnp.int32)
+    exist_way = jnp.min(jnp.where(match_w, widx[None], W), axis=-1)
+    exist_way = jnp.where(any_match, exist_way, 0)
+    cnt_exist = jnp.sum(jnp.where(match_w, st_w & 0xFFFF, 0), axis=-1)
 
-    is_head = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
-    is_tail = jnp.concatenate([skey[1:] != skey[:-1], jnp.ones((1,), bool)])
+    # segment structure: voxel subruns inside bucket runs
+    b_chg = sb[1:] != sb[:-1]
+    v_chg = b_chg | (spk[1:] != spk[:-1])
+    one = jnp.ones((1,), bool)
+    is_bucket_head = jnp.concatenate([one, b_chg])
+    is_voxel_head = jnp.concatenate([one, v_chg])
+    is_voxel_tail = jnp.concatenate([v_chg, one])
 
-    # head pkey propagated through each run (segmented copy-first scan):
-    # the run head is the lowest-input-index valid point of the slot —
-    # exactly the reference's first-come claimant for an empty slot
-    def seg_first(a, b):
-        va, fa = a
-        vb, fb = b
-        return jnp.where(fb, vb, va), fa | fb
-
-    head_pk, _ = jax.lax.associative_scan(seg_first, (spk, is_head))
-
-    accept = s_valid & jnp.where(occupied, same_key, spk == head_pk)
-
-    # rank among ACCEPTED points of the run (segmented inclusive sum)
     def seg_sum(a, b):
         va, fa = a
         vb, fb = b
         return jnp.where(fb, vb, va + vb), fa | fb
 
+    # way claim: the r-th claiming voxel of a bucket takes the bucket's
+    # r-th stale way (claim order = pkey order within the bucket run)
+    claim_head = (is_voxel_head & s_valid & ~any_match).astype(jnp.int32)
+    r_incl, _ = jax.lax.associative_scan(seg_sum, (claim_head, is_bucket_head))
+    r = r_incl - 1  # my subrun's claim rank (valid where ~any_match)
+    free_w = ~fresh_w  # stale ways are claimable
+    free_before = jnp.cumsum(free_w.astype(jnp.int32), axis=-1) - free_w
+    free_cnt = jnp.sum(free_w, axis=-1)
+    claim_ok = s_valid & ~any_match & (r >= 0) & (r < free_cnt)
+    claim_way = jnp.sum(
+        jnp.where(free_w & (free_before == r[:, None]), widx[None], 0), axis=-1
+    )
+    accept = any_match | claim_ok
+    way = jnp.where(any_match, exist_way, claim_way)
+    cnt_at = jnp.where(any_match, cnt_exist, 0)
+
+    # rank among ACCEPTED points of my voxel subrun
     a32 = accept.astype(jnp.int32)
-    incl, _ = jax.lax.associative_scan(seg_sum, (a32, is_head))
+    incl, _ = jax.lax.associative_scan(seg_sum, (a32, is_voxel_head))
     rank = incl - a32
-    # accepted points AFTER me in my run (reverse segmented sum)
-    rincl, _ = jax.lax.associative_scan(seg_sum, (a32, is_tail), reverse=True)
-    n_total = incl + rincl - a32  # accepted points in my whole run
+    rincl, _ = jax.lax.associative_scan(seg_sum, (a32, is_voxel_tail), reverse=True)
+    n_total = incl + rincl - a32  # accepted points in my whole subrun
 
     dest = cnt_at + rank
     store = accept & (dest < K)
@@ -412,9 +438,8 @@ def insert_stats(m: VoxelHashMap, pc: PointCloud) -> Tuple[VoxelHashMap, InsertS
     cnt_fin = jnp.minimum(cnt_at + n_total, K)
     state_fin = (m._epoch16 << 16) | cnt_fin
 
-    stride = m.stride
     oob = jnp.int32(m.data.shape[-2] * 128)
-    p_base = s_slot * stride
+    p_base = (s_bucket * W + way) * s
     s_xyz = BM.gather_rows(pc.xyz, sidx)  # (n, 3) hot narrow gather
     xyz_bits = jax.lax.bitcast_convert_type(s_xyz, jnp.int32)
     # flat element indices (the (rows,128) -> flat reshape is layout-exact
@@ -424,8 +449,8 @@ def insert_stats(m: VoxelHashMap, pc: PointCloud) -> Tuple[VoxelHashMap, InsertS
             jnp.where(store, p_base + 2 + dest, oob),  # x
             jnp.where(store, p_base + 2 + K + dest, oob),  # y
             jnp.where(store, p_base + 2 + 2 * K + dest, oob),  # z
-            jnp.where(store, p_base + 0, oob),  # pkey (same value per run)
-            jnp.where(store, p_base + 1, oob),  # state (same value per run)
+            jnp.where(store, p_base + 0, oob),  # pkey (same value per subrun)
+            jnp.where(store, p_base + 1, oob),  # state (same value per subrun)
         ],
         axis=-1,
     )  # (n, 5)
@@ -537,20 +562,31 @@ def capture(
     nearest — negligible under the robust kernel with the ~0.15 m hook
     bound.
     """
-    V, K = m.num_slots, m.K
+    V, K, W = m.num_slots, m.K, m.ways
+    s = m.stride
     n = queries.shape[0]
     base = voxel_coords(queries, m.voxel_size)
     cand = neighbor_coords(queries, base, m.voxel_size, neighbors)  # (N,P,3)
     P = cand.shape[1]
-    slots = voxel_hash(cand, V)  # (N, P)
+    buckets = voxel_hash(cand, m.num_buckets)  # (N, P)
 
-    g = _gather_windows(m, slots.reshape(-1)).reshape(n, P, m.stride)
-    pkey, state = g[..., 0], g[..., 1]
-    key_ok = pkey == pack_key(cand)
-    cnt = jnp.where(
-        ((state >> 16) & 0xFFFF) == m._epoch16, state & 0xFFFF, 0
+    gb = _gather_buckets(m, buckets.reshape(-1)).reshape(n, P, W * s)
+    target = pack_key(cand)  # (N, P)
+    # key-matched way select: the bucket row is already in registers, so
+    # checking all W ways costs VPU compares, no extra memory traffic
+    g = gb[..., 0:s]
+    match = (gb[..., 0] == target) & (
+        ((gb[..., 1] >> 16) & 0xFFFF) == m._epoch16
     )
-    live = key_ok & (cnt > 0)
+    for w in range(1, W):
+        mw = (gb[..., w * s] == target) & (
+            ((gb[..., w * s + 1] >> 16) & 0xFFFF) == m._epoch16
+        )
+        g = jnp.where(mw[..., None], gb[..., w * s : (w + 1) * s], g)
+        match = match | mw
+    state = g[..., 1]
+    cnt = jnp.where(match, state & 0xFFFF, 0)
+    live = match & (cnt > 0)
     pts4 = jnp.stack(
         [
             jax.lax.bitcast_convert_type(g[..., 2 : 2 + K], jnp.float32),

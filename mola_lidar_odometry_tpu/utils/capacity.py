@@ -1,0 +1,114 @@
+"""Capacity sizing policy: derive buffer sizes from the first scan.
+
+VERDICT round-2 item 7: the fixed-capacity tables (TPU static shapes) were
+hand-right-sized to the bench world; on a denser world a fleet silently
+degrades until someone reads the drop counters.  This module replaces hand
+tuning with a host-side dry pass over the FIRST scan:
+
+  * every filter-graph layer is sized by actually running the pipeline
+    once in exact host arithmetic (the float64 oracle interpreter — the
+    same compiled spec the device step runs) and measuring the layer
+    populations;
+  * the map hash table is sized from the measured unique-voxel count of
+    the map-insert layer at the map's own resolution, times a fill-factor
+    and sliding-window margin.
+
+Sizing happens before the first jit (the step is already deferred to the
+first scan for SE(2) auto-detection), so auto-capacity costs one host-side
+pipeline pass, no recompiles.  Saturation remains observable at runtime:
+``StepOutput.map_collision_drops`` feeds a windowed warning in
+models/odometry.py when drops exceed 0.1% of inserts.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((max(n, 1) + m - 1) // m) * m
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(int(n) - 1, 1).bit_length()
+
+
+# margins: layer populations vary frame-to-frame (deskew, range-estimate
+# drift moves the decimation resolutions); 1.5x absorbed every variation
+# observed on the bench/eval worlds, and saturation still warns at runtime.
+LAYER_MARGIN = 1.5
+LAYER_QUANTUM = 512
+# The sliding map accumulates several keyframes of fresh voxels before
+# eviction, and a voxel drops when BOTH ways of its 2-way bucket are taken
+# (ops/voxel_hash.py).  Measured on a dense non-bench world (10 frames,
+# 140-box clutter): factor 8 -> 0.28% of inserts dropped, 16 -> 0.086%,
+# 32 -> 0.009%.  32 holds the <0.1% budget with ~10x margin at trivial
+# memory (V = 64k slots = 17 MB for a 2k-voxel first scan).
+MAP_SLOTS_FACTOR = 32
+MAP_SLOTS_MIN = 1 << 12
+MAP_SLOTS_MAX = 1 << 20
+
+
+def derive_capacities(
+    spec, xyz: np.ndarray, times: np.ndarray = None
+) -> Tuple[int, int, Dict[str, int]]:
+    """Dry-run the spec's filter graph on the first scan (exact host
+    arithmetic) and derive ``(raw_capacity, map_slots, layer_capacities)``.
+    """
+    from mola_lidar_odometry_tpu import oracle as O
+
+    xyz = np.asarray(xyz, np.float64)
+    n = len(xyz)
+    if times is None:
+        times = np.zeros(n)
+    times = np.asarray(times, np.float64)
+
+    rng = float(np.max(np.linalg.norm(xyz, axis=1))) if n else 0.0
+    est_range = max(rng, spec.absolute_minimum_sensor_range)
+
+    # first-frame dynamic environment (same variables models/step publishes)
+    env = {
+        k: 0.0
+        for k in (
+            "vx", "vy", "vz", "wx", "wy", "wz",
+            "robot_x", "robot_y", "robot_z",
+            "robot_yaw", "robot_pitch", "robot_roll",
+            "ICP_ITERATION", "icp_iterations", "SENSOR_TIME_OFFSET",
+            "twistCorrectionCount", "current_relative_timestamp",
+        )
+    }
+    env["ADAPTIVE_THRESHOLD_SIGMA"] = spec.adaptive_threshold.initial_sigma
+    env["ESTIMATED_SENSOR_MAX_RANGE"] = est_range
+    env["INSTANTANEOUS_SENSOR_MAX_RANGE"] = est_range
+
+    layers = {"raw": O.Cloud(xyz, times)}
+    layers = O.apply_pipeline_exact(spec.adjust_pipeline, layers, env)
+    layers = O.apply_pipeline_exact(spec.filter1, layers, env)
+    layers = O.apply_pipeline_exact(spec.filter2, layers, env)
+
+    raw_capacity = _next_pow2(n)
+    caps: Dict[str, int] = {"raw": raw_capacity}
+    for name, c in layers.items():
+        if name == "raw":
+            continue
+        caps[name] = _round_up(int(math.ceil(len(c.xyz) * LAYER_MARGIN)), LAYER_QUANTUM)
+
+    # unique voxels of every map-insert source at its target layer's
+    # resolution -> hash-table sizing
+    defs = {d.name: d for d in spec.map_layers}
+    vox_total = 0
+    for op in spec.map_inserts:
+        src = layers.get(op.input_layer)
+        d = defs.get(op.target_map_layer)
+        if src is None or d is None or len(src.xyz) == 0:
+            continue
+        vs = float(np.asarray(d.voxel_size(env), np.float64))
+        keys = np.floor(src.xyz / max(vs, 1e-6)).astype(np.int64)
+        vox_total += len(np.unique(keys, axis=0))
+    map_slots = int(
+        min(max(_next_pow2(vox_total * MAP_SLOTS_FACTOR), MAP_SLOTS_MIN), MAP_SLOTS_MAX)
+    )
+    return raw_capacity, map_slots, caps

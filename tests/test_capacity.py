@@ -95,3 +95,49 @@ def test_capacity_sweep_saturates():
     # saturation point up from 1<<16.)
     assert abs(worst_def - worst_big) < 0.02, (worst_def, worst_big)
     assert worst_def <= worst_tiny + 0.02
+
+
+class TestAutoCapacity:
+    """VERDICT-7 sizing policy: zero-tuning runs stay under the 0.1% drop
+    budget on a world that is NOT the bench world."""
+
+    def test_zero_tuning_drops_below_budget(self):
+        world = sim.make_world(7, extent=35.0, n_boxes=140, n_plates=60)
+        traj = sim.make_trajectory(8, dt=0.1, seed=9, speed=3.0)
+        scans = [
+            sim.simulate_scan(
+                world, traj.R[k], traj.t[k], traj.twists[k],
+                n_rings=32, n_azimuth=512, fov_up_deg=12.0, fov_down_deg=-20.0,
+                spin_period=0.1, noise=0.01, max_range=60.0, seed=77 + k,
+            )
+            for k in range(8)
+        ]
+        lo = LidarOdometry.from_yaml_file(PIPELINE)  # NO capacity overrides
+        drops = inserts = 0
+        for k, (xyz, times, rings, valid) in enumerate(scans):
+            out = lo.on_lidar_scan(
+                xyz[valid], float(traj.stamps[k]), times=times[valid], ring=rings[valid]
+            )
+            drops += int(out.map_collision_drops)
+            inserts += int(out.n_map_layer)
+        assert float(out.quality) > 0.9
+        ratio = drops / max(inserts, 1)
+        assert ratio < 0.001, f"collision drops {100*ratio:.3f}% of inserts"
+        # the dry pass actually derived the sizes (not the env defaults)
+        assert lo.spec.raw_capacity == 16384
+        assert lo.spec.map_layers[0].num_slots >= 1 << 16
+
+    def test_layer_capacities_not_saturated(self):
+        traj, scans = sim.simulate_sequence(4, n_rings=16, n_azimuth=384)
+        lo = LidarOdometry.from_yaml_file(PIPELINE, auto_capacity=True)
+        for k, (xyz, times, rings, valid) in enumerate(scans):
+            out = lo.on_lidar_scan(
+                xyz[valid], float(traj.stamps[k]), times=times[valid], ring=rings[valid]
+            )
+            caps = lo.spec.layer_capacities
+            assert int(out.n_icp_layer) < caps["decimated_for_icp"]
+            assert int(out.n_map_layer) < caps["decimated_for_map"]
+
+    def test_explicit_overrides_disable_auto(self):
+        lo = LidarOdometry.from_yaml_file(PIPELINE, map_slots=1 << 14)
+        assert getattr(lo, "_auto_cfg", None) is None
