@@ -123,7 +123,8 @@ def insert_stats(state, pc: PointCloud, sensor_origin=None, layer_def: "MapLayer
     """Insert + capacity-pressure counters (voxel_hash.InsertStats; zero for
     map types without point-slot semantics)."""
     if isinstance(state, voxel_hash.VoxelHashMap):
-        return voxel_hash.insert_stats(state, pc)
+        md = layer_def.min_distance_between_points if layer_def else 0.0
+        return voxel_hash.insert_stats(state, pc, min_distance=md)
     if isinstance(state, ndt.NdtMap):
         return ndt.insert_stats(state, pc)
     if isinstance(state, occupancy.OccupancyMap):

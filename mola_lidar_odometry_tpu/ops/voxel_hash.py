@@ -342,12 +342,14 @@ class InsertStats(NamedTuple):
         )
 
 
-def insert(m: VoxelHashMap, pc: PointCloud) -> VoxelHashMap:
+def insert(m: VoxelHashMap, pc: PointCloud, min_distance: float = 0.0) -> VoxelHashMap:
     """Insert the valid points of ``pc`` (already in map/global frame)."""
-    return insert_stats(m, pc)[0]
+    return insert_stats(m, pc, min_distance)[0]
 
 
-def insert_stats(m: VoxelHashMap, pc: PointCloud) -> Tuple[VoxelHashMap, InsertStats]:
+def insert_stats(
+    m: VoxelHashMap, pc: PointCloud, min_distance: float = 0.0
+) -> Tuple[VoxelHashMap, InsertStats]:
     """Insert + capacity-pressure counters (see :class:`InsertStats`).
 
     Fully sort-fused: ONE lexicographic (bucket, pkey, idx) sort groups
@@ -424,6 +426,36 @@ def insert_stats(m: VoxelHashMap, pc: PointCloud) -> Tuple[VoxelHashMap, InsertS
     accept = any_match | claim_ok
     way = jnp.where(any_match, exist_way, claim_way)
     cnt_at = jnp.where(any_match, cnt_exist, 0)
+    s_xyz = BM.gather_rows(pc.xyz, sidx)  # (n, 3) hot narrow gather
+
+    if min_distance > 0:
+        # ``min_distance_between_points`` (reference insertOpts,
+        # pipelines/lidar3d-default.yaml:236): reject a point closer than
+        # this to any point ALREADY STORED in its voxel.  The stored points
+        # are in the gathered bucket row — K lane slices, no extra memory
+        # traffic.  Same-batch points do not see each other (they arrive
+        # pre-decimated at >= this resolution in every shipped pipeline);
+        # documented deviation, docs/parity.md.
+        off = way * s
+        kj = jnp.arange(K, dtype=jnp.int32)
+
+        def way_lanes(base_off):
+            cols = off[:, None] + base_off + kj[None]
+            return jax.lax.bitcast_convert_type(
+                jnp.take_along_axis(g, cols, axis=1), jnp.float32
+            )
+
+        sxs, sys, szs = way_lanes(2), way_lanes(2 + K), way_lanes(2 + 2 * K)
+        stored = kj[None, :] < cnt_at[:, None]
+        d2s = (
+            (sxs - s_xyz[:, 0:1]) ** 2
+            + (sys - s_xyz[:, 1:2]) ** 2
+            + (szs - s_xyz[:, 2:3]) ** 2
+        )
+        too_close = jnp.any(stored & (d2s < min_distance * min_distance), axis=-1)
+        accept = accept & ~too_close
+    else:
+        too_close = jnp.zeros_like(accept)
 
     # rank among ACCEPTED points of my voxel subrun
     a32 = accept.astype(jnp.int32)
@@ -440,7 +472,6 @@ def insert_stats(m: VoxelHashMap, pc: PointCloud) -> Tuple[VoxelHashMap, InsertS
 
     oob = jnp.int32(m.data.shape[-2] * 128)
     p_base = (s_bucket * W + way) * s
-    s_xyz = BM.gather_rows(pc.xyz, sidx)  # (n, 3) hot narrow gather
     xyz_bits = jax.lax.bitcast_convert_type(s_xyz, jnp.int32)
     # flat element indices (the (rows,128) -> flat reshape is layout-exact
     # for 128-lane rows — no materializing layout round-trip)
@@ -461,7 +492,9 @@ def insert_stats(m: VoxelHashMap, pc: PointCloud) -> Tuple[VoxelHashMap, InsertS
     data = BM.scatter_set(m.data.reshape(-1), idx, vals).reshape(m.data.shape)
 
     stats = InsertStats(
-        collision_drops=jnp.sum(s_valid & ~accept).astype(jnp.int32),
+        # dedup rejections (min_distance) are intended behavior, not
+        # capacity pressure — excluded from the collision counter
+        collision_drops=jnp.sum(s_valid & ~accept & ~too_close).astype(jnp.int32),
         full_drops=jnp.sum(accept & (dest >= K)).astype(jnp.int32),
     )
     return m._replace(data=data), stats

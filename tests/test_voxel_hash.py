@@ -115,3 +115,28 @@ def test_vmap_batch_of_maps():
     counts = jax.vmap(lambda s: build(s))(jnp.arange(4))
     assert counts.shape == (4,)
     assert all(int(c) > 0 for c in counts)
+
+
+class TestMinDistanceBetweenPoints:
+    """insertOpts min_distance_between_points is behavioral on point maps
+    (reference pipelines/lidar3d-default.yaml:236 — there 0/disabled)."""
+
+    def test_rejects_near_duplicates_across_frames(self):
+        m = vh.VoxelHashMap.create(1 << 8, 8, 1.0)
+        p0 = np.array([[0.50, 0.50, 0.50]], np.float32)
+        m = vh.insert(m, PointCloud.from_xyz(jnp.asarray(p0)), min_distance=0.2)
+        assert int(m.num_points()) == 1
+        # 5 cm away: rejected; 30 cm away: stored
+        near = np.array([[0.55, 0.50, 0.50]], np.float32)
+        far = np.array([[0.80, 0.50, 0.50]], np.float32)
+        m1, st1 = vh.insert_stats(m, PointCloud.from_xyz(jnp.asarray(near)), min_distance=0.2)
+        assert int(m1.num_points()) == 1
+        assert int(st1.collision_drops) == 0  # dedup is not capacity pressure
+        m2 = vh.insert(m, PointCloud.from_xyz(jnp.asarray(far)), min_distance=0.2)
+        assert int(m2.num_points()) == 2
+
+    def test_disabled_by_default(self):
+        m = vh.VoxelHashMap.create(1 << 8, 8, 1.0)
+        pts = np.array([[0.50, 0.50, 0.50], [0.52, 0.50, 0.50]], np.float32)
+        m = vh.insert(m, PointCloud.from_xyz(jnp.asarray(pts)))
+        assert int(m.num_points()) == 2
