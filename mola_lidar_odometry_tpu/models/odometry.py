@@ -210,6 +210,18 @@ class LidarOdometry:
         self.spec = dataclasses.replace(self.spec, pin_se2=planar)
         self._step = jax.jit(step_mod.make_step(self.spec))
 
+    def set_mapping_enabled(self, enabled: bool) -> None:
+        """Runtime local-map toggle (the reference GUI's "generate map"
+        checkbox, LidarOdometry.cpp:1944-1961): disabled = localization-only
+        against the frozen map; matching continues."""
+        import jax.numpy as _jnp
+
+        self.carry = self.carry._replace(mapping_enabled=_jnp.asarray(bool(enabled)))
+
+    @property
+    def mapping_enabled(self) -> bool:
+        return bool(self.carry.mapping_enabled)
+
     def matches_lidar_label(self, label: str) -> bool:
         return any(r.fullmatch(label) or r.match(label) for r in self._label_regexes)
 

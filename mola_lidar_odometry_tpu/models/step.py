@@ -97,6 +97,10 @@ class Carry(NamedTuple):
     # tables (is_empty) streams the whole multi-hundred-MB table set every
     # step (~3.3 ms/step at B=8); inserts/restarts keep this flag exact
     map_has_content: jax.Array  # () bool
+    # runtime mapping toggle (reference GUI "generate map" checkbox,
+    # LidarOdometry.cpp:1944-1961): False = localization-only, the local
+    # map stops updating but matching continues
+    mapping_enabled: jax.Array  # () bool
 
 
 class StepOutput(NamedTuple):
@@ -157,6 +161,7 @@ def init_carry(spec: OdometrySpec) -> Carry:
         last_twist=jnp.zeros(6, jnp.float32),
         has_twist=jnp.asarray(False),
         map_has_content=jnp.asarray(False),
+        mapping_enabled=jnp.asarray(True),
     )
 
 
@@ -399,13 +404,16 @@ def make_step(spec: OdometrySpec) -> Callable[[Carry, Scan], Tuple[Carry, StepOu
         env_kf["ESTIMATED_SENSOR_MAX_RANGE"] = est_range
         min_t = lmu.min_translation_between_keyframes(env_kf)
         min_r = lmu.min_rotation_between_keyframes_deg(env_kf) * (math.pi / 180.0)
-        update_local_map = jnp.where(
-            map_empty,
-            True,
-            accepted
-            & lmu.enabled
-            & nav_est.valid
-            & (is_first_lm | (d_lm > min_t) | (r_lm > min_r)),
+        update_local_map = (
+            jnp.where(
+                map_empty,
+                True,
+                accepted
+                & lmu.enabled
+                & nav_est.valid
+                & (is_first_lm | (d_lm > min_t) | (r_lm > min_r)),
+            )
+            & c.mapping_enabled
         )
         lm_kfs = jax.tree_util.tree_map(
             lambda a, b: jnp.where(update_local_map & ~map_empty, a, b),
@@ -552,6 +560,7 @@ def make_step(spec: OdometrySpec) -> Callable[[Carry, Scan], Tuple[Carry, StepOu
             last_twist=nav_est.twist,
             has_twist=nav_est.valid,
             map_has_content=(c.map_has_content | update_local_map) & ~restart,
+            mapping_enabled=c.mapping_enabled,
         )
 
         # Inactive frame (invalid observation / min-time drop): keep ALL

@@ -8,14 +8,22 @@ same surface is served over HTTP instead:
 
   * ``/``              — self-refreshing page: latest snapshot + stats
   * ``/snapshot.png``  — most recent top-down render (in-memory PNG)
-  * ``/stats.json``    — the GUI label block as JSON
-  * ``/pause`` ``/resume``   — the GUI's pause checkbox (POST or GET)
-  * ``/save_map?path=...``   — the GUI's "save map" button
+  * ``/stats.json``    — the GUI label block as JSON (quality, sigma,
+    est. range, Hz, speed — the reference's five stat labels, :1841-1862)
+  * ``/pause`` ``/resume``       — viewer-side pause of the driving loop
+  * ``/toggle_active``           — the GUI "active" checkbox (:1941-1943):
+    inactive discards incoming observations at the module
+  * ``/toggle_mapping``          — the GUI "generate map" checkbox
+    (:1944-1961): localization-only against the frozen local map
+  * ``/save_map?path=...``       — the "save map" button (:2005-2013)
+  * ``/save_trajectory?path=...``— the "save trajectory" button
+  * ``/reset``                   — the GUI reset button (:1965-1977)
 
 Control requests mirror how the reference marshals GUI mutations onto the
-odometry thread: they only set flags / enqueue work; the driving loop calls
-:meth:`LiveViewer.on_frame` between scans, which honors the pause flag,
-performs queued saves, and re-renders every ``every_n`` frames.
+odometry thread (``enqueue_request``, :2216-2245): they only set flags /
+enqueue closures; the driving loop calls :meth:`LiveViewer.on_frame`
+between scans, which honors the pause flag, drains the request queue, and
+re-renders every ``every_n`` frames.
 
 Usage (the offline CLI wires this behind ``--live-viz PORT``)::
 
@@ -51,7 +59,11 @@ a{{color:#8cf}}</style></head>
 </div>
 <p><a href="#" onclick="fetch('/pause');return false">pause</a> |
 <a href="#" onclick="fetch('/resume');return false">resume</a> |
-<a href="#" onclick="fetch('/save_map?path=live_map.mm.npz');return false">save map</a></p>
+<a href="#" onclick="fetch('/toggle_active');return false">toggle active</a> |
+<a href="#" onclick="fetch('/toggle_mapping');return false">toggle mapping</a> |
+<a href="#" onclick="fetch('/save_map?path=live_map.mm.npz');return false">save map</a> |
+<a href="#" onclick="fetch('/save_trajectory?path=live_traj.tum');return false">save trajectory</a> |
+<a href="#" onclick="if(confirm('reset odometry?'))fetch('/reset');return false">reset</a></p>
 <script>
 async function tick() {{
   try {{
@@ -86,15 +98,21 @@ class LiveViewer:
 
     # ---- host-side driving loop hooks ------------------------------------
 
+    def enqueue_request(self, fn) -> None:
+        """Queue a mutation to run on the odometry thread between scans
+        (the reference's enqueue_request contract, :2216-2245)."""
+        with self._lock:
+            self._save_requests.append(fn)
+
     def on_frame(self) -> None:
-        """Call between scans: honors pause, performs queued saves,
+        """Call between scans: honors pause, drains queued requests,
         refreshes the snapshot every ``every_n`` frames."""
         while self.paused.is_set():
             time.sleep(0.05)
         with self._lock:
-            saves, self._save_requests = self._save_requests, []
-        for path in saves:
-            self.lo.save_local_map(path)
+            reqs, self._save_requests = self._save_requests, []
+        for fn in reqs:
+            fn()
         self._frames_seen += 1
         if self._frames_seen % self.every_n == 0:
             self.render()
@@ -108,8 +126,11 @@ class LiveViewer:
         self._png = buf.getvalue()
 
     def stats(self) -> dict:
+        import numpy as _np
+
         c = self.lo.carry
         dt = time.time() - self._t0
+        tw = _np.asarray(c.last_twist)
         return {
             "frames": self.lo.frames_processed,
             "dropped": self.lo.frames_dropped,
@@ -118,10 +139,14 @@ class LiveViewer:
             "icp_iterations": int(float(c.last_icp_iters)),
             "sigma_m": round(float(c.sigma), 4),
             "est_sensor_range_m": round(float(c.est_range), 2),
+            "speed_mps": round(float(_np.linalg.norm(tw[:3])), 3),
+            "speed_kmh": round(float(_np.linalg.norm(tw[:3])) * 3.6, 2),
             "pose_t": [round(float(v), 3) for v in c.pose_t],
             "wall_s": round(dt, 1),
             "hz": round(self.lo.frames_processed / dt, 2) if dt > 0 else 0.0,
             "paused": self.paused.is_set(),
+            "active": bool(self.lo.active),
+            "mapping": bool(self.lo.mapping_enabled),
         }
 
     # ---- HTTP server ------------------------------------------------------
@@ -163,12 +188,40 @@ class LiveViewer:
                 elif u.path == "/resume":
                     viewer.paused.clear()
                     self._send(200, "text/plain", b"resumed")
+                elif u.path == "/toggle_active":
+                    # flips immediately (the reference checkbox writes the
+                    # module flag under its own mutex, :1941-1943); the
+                    # dispatcher reads it per observation
+                    viewer.lo.active = not viewer.lo.active
+                    self._send(
+                        200, "text/plain",
+                        f"active={viewer.lo.active}".encode(),
+                    )
+                elif u.path == "/toggle_mapping":
+                    new_state = not viewer.lo.mapping_enabled
+                    viewer.enqueue_request(
+                        lambda s=new_state: viewer.lo.set_mapping_enabled(s)
+                    )
+                    self._send(
+                        200, "text/plain", f"mapping={new_state} queued".encode()
+                    )
                 elif u.path == "/save_map":
                     q = parse_qs(u.query)
                     path = q.get("path", ["live_map.mm.npz"])[0]
-                    with viewer._lock:
-                        viewer._save_requests.append(path)
+                    viewer.enqueue_request(
+                        lambda p=path: viewer.lo.save_local_map(p)
+                    )
                     self._send(200, "text/plain", f"queued: {path}".encode())
+                elif u.path == "/save_trajectory":
+                    q = parse_qs(u.query)
+                    path = q.get("path", ["live_traj.tum"])[0]
+                    viewer.enqueue_request(
+                        lambda p=path: viewer.lo.save_trajectory_tum(p)
+                    )
+                    self._send(200, "text/plain", f"queued: {path}".encode())
+                elif u.path == "/reset":
+                    viewer.enqueue_request(viewer.lo.reset)
+                    self._send(200, "text/plain", b"reset queued")
                 else:
                     self._send(404, "text/plain", b"not found")
 

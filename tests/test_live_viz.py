@@ -75,3 +75,57 @@ def test_live_viewer_serves_run(tmp_path):
         assert save_path.exists()
     finally:
         viewer.stop()
+
+
+def test_gui_toggles_and_save_roundtrip(tmp_path):
+    """Reference GUI parity (VERDICT-10): active & mapping toggles + save
+    buttons wired through the enqueue_request path, with a save round-trip."""
+    traj, scans = sim.simulate_sequence(6, n_rings=8, n_azimuth=128)
+    lo = LidarOdometry.from_yaml_file(PIPELINE, env={}, **TINY)
+    viewer = LiveViewer(lo, every_n=100)
+    port = viewer.start(port=0)
+
+    def feed(k):
+        xyz, times, rings, valid = scans[k]
+        out = lo.on_lidar_scan(
+            xyz[valid], float(traj.stamps[k]), times=times[valid], ring=rings[valid]
+        )
+        viewer.on_frame()
+        return out
+
+    try:
+        feed(0)
+        feed(1)
+        stats = json.loads(_get(port, "/stats.json")[1])
+        assert stats["active"] is True and stats["mapping"] is True
+        assert "speed_mps" in stats and "hz" in stats
+
+        # mapping toggle: queued, applied on the next frame boundary
+        assert _get(port, "/toggle_mapping")[0] == 200
+        feed(2)
+        assert lo.mapping_enabled is False
+        pts_before = int(lo.carry.maps["localmap"].num_points())
+        out = feed(3)
+        assert bool(out.kf_local) is False  # localization-only: no map update
+        assert int(lo.carry.maps["localmap"].num_points()) == pts_before
+        assert _get(port, "/toggle_mapping")[0] == 200
+        feed(4)
+        assert lo.mapping_enabled is True
+
+        # active toggle: observations discarded at the module
+        assert _get(port, "/toggle_active")[0] == 200
+        assert lo.active is False
+        xyz, times, rings, valid = scans[5]
+        assert lo.on_lidar_scan(xyz[valid], float(traj.stamps[5])) is None
+        assert _get(port, "/toggle_active")[0] == 200
+        assert lo.active is True
+
+        # save-trajectory round-trip through the queue
+        tum = tmp_path / "live.tum"
+        assert _get(port, f"/save_trajectory?path={tum}")[0] == 200
+        feed(5)
+        assert tum.exists()
+        lines = tum.read_text().strip().splitlines()
+        assert len([l for l in lines if l and not l.startswith("#")]) >= 4
+    finally:
+        viewer.stop()
