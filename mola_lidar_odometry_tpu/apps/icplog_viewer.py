@@ -37,6 +37,12 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="icp-log-viewer")
     ap.add_argument("logs", nargs="+", help=".icplog.npz files")
     ap.add_argument("-o", "--output", default=None, help="render PNG here")
+    ap.add_argument(
+        "--pairings", type=int, default=None, metavar="ITER",
+        help="also render the recorded pairing segments of the detail "
+        "iteration closest to ITER (needs logs written with "
+        "MP2P_ICP_LOG_ITER_DETAILS > 0)",
+    )
     args = ap.parse_args(argv)
 
     infos = [summarize(p) for p in args.logs]
@@ -53,12 +59,36 @@ def main(argv=None) -> int:
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 5))
+        ncols = 3 if args.pairings is not None else 2
+        fig, axes = plt.subplots(1, ncols, figsize=(5.5 * ncols, 5))
+        ax1, ax2 = axes[0], axes[1]
         for p in args.logs:
             d = np.load(p)
             t = d["poses_t"]
             ax1.plot(t[:, 0], t[:, 1], ".-", ms=3, label=p.split("/")[-1])
             ax2.plot(d["paired"], label=p.split("/")[-1])
+        if args.pairings is not None:
+            ax3 = axes[2]
+            d = np.load(args.logs[0])
+            if "pair_details" not in d:
+                ax3.set_title("no pairing details in log")
+            else:
+                its = d["detail_iters"]
+                slot = int(np.argmin(np.abs(its - args.pairings)))
+                det = d["pair_details"][slot]
+                v = det[:, 7] > 0
+                # pairing segments: local point (sensor frame, at the
+                # logged pose) -> matched map target
+                R, tt = d["poses_R"][its[slot]], d["poses_t"][its[slot]]
+                lp = det[v, :3] @ R.T + tt
+                tp = det[v, 3:6]
+                for a, b in zip(lp[::5], tp[::5]):  # decimate for legibility
+                    ax3.plot([a[0], b[0]], [a[1], b[1]], "-", lw=0.3, c="#888")
+                ax3.plot(lp[:, 0], lp[:, 1], ".", ms=1.5, label="local")
+                ax3.plot(tp[:, 0], tp[:, 1], ".", ms=1.5, label="map")
+                ax3.set_title(f"pairings @ iter {int(its[slot])} ({int(v.sum())})")
+                ax3.axis("equal")
+                ax3.legend(fontsize=7)
         ax1.set_title("per-iteration pose (x, y)")
         ax1.set_xlabel("x [m]")
         ax1.set_ylabel("y [m]")

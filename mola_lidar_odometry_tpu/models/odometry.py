@@ -358,6 +358,11 @@ class LidarOdometry:
         from mola_lidar_odometry_tpu.ops.se3 import Pose
         from mola_lidar_odometry_tpu.utils.icp_log import replay_align_with_trace
 
+        import os as _os
+
+        # reference decimationIterationDetails (lidar3d-default.yaml:180):
+        # full pairing details every Nth iteration; 0 disables the details
+        detail_every = int(_os.environ.get("MP2P_ICP_LOG_ITER_DETAILS", 3))
         spec = self.spec
         if self._icp_replay is None:
 
@@ -379,12 +384,20 @@ class LidarOdometry:
                     for mc in cfg.matchers
                 }
                 return replay_align_with_trace(
-                    carry.maps, icp_layers, pose0, nav.prior, cfg, env, n_iters
+                    carry.maps, icp_layers, pose0, nav.prior, cfg, env,
+                    n_iters, detail_every=detail_every,
                 )
 
             self._icp_replay = jax.jit(replay)
 
-        Rs, ts, paired = self._icp_replay(self.carry, scan)
+        Rs, ts, paired, det = self._icp_replay(self.carry, scan)
+        extra = {}
+        if det is not None:
+            # per-detail-iteration pairings: [lx ly lz tx ty tz d2 valid]
+            extra["pair_details"] = np.asarray(det, np.float32)
+            extra["detail_iters"] = np.arange(
+                0, Rs.shape[0], detail_every, dtype=np.int32
+            )
         self._icp_log.log(
             frame_idx=self.frames_processed,
             stamp=float(scan.stamp),
@@ -393,6 +406,7 @@ class LidarOdometry:
             paired=np.asarray(paired),
             quality=float(self.carry.last_icp_quality),
             iterations=n_iters,
+            extra=extra,
         )
 
     # -- internals ---------------------------------------------------------

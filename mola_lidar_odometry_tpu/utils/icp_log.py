@@ -74,33 +74,70 @@ class IcpLogWriter:
         return path
 
 
-def replay_align_with_trace(maps, layers, init_pose, prior, cfg, env, n_iters: int):
+def replay_align_with_trace(
+    maps, layers, init_pose, prior, cfg, env, n_iters: int, detail_every: int = 0
+):
     """Re-run an align with a FIXED iteration schedule, recording each
     iteration's pose and pairing count (a fori_loop with stacked outputs —
-    fixed shapes, one device program)."""
+    fixed shapes, one device program).
+
+    With ``detail_every > 0`` (the reference's ``saveIterationDetails`` +
+    ``decimationIterationDetails``, pipelines/lidar3d-default.yaml:178-180)
+    every ``detail_every``-th iteration ALSO records the first matcher's
+    full pairing set: per local point, its sensor-frame coordinates, the
+    matched map target, the squared distance, and validity — the partial
+    solutions an icp-log viewer inspects."""
     import jax
     import jax.numpy as jnp
 
     from mola_lidar_odometry_tpu.ops import icp as icp_ops
     from mola_lidar_odometry_tpu.ops.solver import solve_gauss_newton_blocks
 
+    want_details = detail_every > 0
+    mc0 = cfg.matchers[0]
+    n_local = layers[mc0.local_layer][0].shape[0]
+    n_detail = (n_iters + detail_every - 1) // detail_every if want_details else 0
+
     def body(it, carry):
-        pose, Rs, ts, paired_log = carry
+        pose, Rs, ts, paired_log, det = carry
         env_it = dict(env)
         env_it["ICP_ITERATION"] = it.astype(jnp.float32)
         kernel_c = cfg.kernel_param(env_it)
         candsets = icp_ops._capture_all(cfg, maps, layers, pose)
         blocks, paired, _ = icp_ops._matcher_blocks(cfg, candsets, layers, pose, env_it, it)
+        if want_details:
+            b0 = blocks[0]
+            tp = b0.p_local  # sensor-frame local points
+            row = jnp.concatenate(
+                [
+                    tp,
+                    b0.q_global,
+                    jnp.sum((b0.q_global - tp) ** 2, axis=-1, keepdims=True),
+                    b0.valid.astype(jnp.float32)[:, None],
+                ],
+                axis=-1,
+            )  # (N, 8)
+            slot = it // detail_every
+            det = jnp.where(
+                (it % detail_every) == 0,
+                jax.lax.dynamic_update_index_in_dim(det, row, slot, 0),
+                det,
+            )
         pose, _ = solve_gauss_newton_blocks(
             pose, blocks, kernel_c, prior, cfg.gn_inner_iterations
         )
         Rs = Rs.at[it].set(pose.R)
         ts = ts.at[it].set(pose.t)
         paired_log = paired_log.at[it].set(paired.astype(jnp.int32))
-        return pose, Rs, ts, paired_log
+        return pose, Rs, ts, paired_log, det
 
     Rs0 = jnp.zeros((n_iters, 3, 3), jnp.float32)
     ts0 = jnp.zeros((n_iters, 3), jnp.float32)
     p0 = jnp.zeros((n_iters,), jnp.int32)
-    _, Rs, ts, paired = jax.lax.fori_loop(0, n_iters, body, (init_pose, Rs0, ts0, p0))
-    return Rs, ts, paired
+    det0 = jnp.zeros((max(n_detail, 1), n_local, 8), jnp.float32)
+    _, Rs, ts, paired, det = jax.lax.fori_loop(
+        0, n_iters, body, (init_pose, Rs0, ts0, p0, det0)
+    )
+    if not want_details:
+        det = None
+    return Rs, ts, paired, det

@@ -236,6 +236,18 @@ def test_icp_debug_logs(tmp_path, monkeypatch, tiny_lo):
     assert len(logs) == 2
     d = np.load(logs[1])
     assert d["poses_t"].shape[1] == 3 and d["paired"].shape[0] == 30
+    # full per-iteration pairing details (saveIterationDetails analogue):
+    # [lx ly lz tx ty tz d2 valid] per local point, every 3rd iteration
+    det = d["pair_details"]
+    assert det.shape[0] == 10 and det.shape[2] == 8
+    assert list(d["detail_iters"][:3]) == [0, 3, 6]
+    v = det[0, :, 7] > 0
+    assert v.any()
+    # recorded d2 consistent with the recorded pair endpoints (local pts
+    # are sensor-frame, targets map-frame: only the invariant that d2
+    # matches what was paired at that iteration's pose is checked upstream;
+    # here shape + validity + finite values)
+    assert np.isfinite(det[0][v]).all()
 
 
 def test_ros2_bridge_gated():
