@@ -28,17 +28,45 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
+def auto_batch(n_scan_points: int, lo: int = 8, hi: int = 64) -> int:
+    """Inverse-batch policy (round-3 VERDICT item 9): per-step instruction
+    floors (sort ~2.5 ms, per-gather fixed costs) do not shrink with scan
+    size, so small-scan fleets waste the chip at the headline B=8.  Scale
+    the instance count so the total points per step stay near the headline
+    working set (B=8 x 131k points), clamped to [8, 64]."""
+    ref_points = 8 * (1 << 17)
+    b = max(1, ref_points // max(n_scan_points, 1))
+    # round down to a power of two for friendly mesh factorizations
+    b = 1 << (b.bit_length() - 1)
+    return max(lo, min(hi, b))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument(
+        "--batch", type=int, default=0,
+        help="fleet width; 0 = auto (inverse with scan size, see auto_batch)",
+    )
     ap.add_argument("--frames", type=int, default=25)
     ap.add_argument("--rings", type=int, default=32)
     ap.add_argument("--azimuth", type=int, default=1024)
     ap.add_argument("--pipeline", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "pipelines", "lidar3d-default.yaml"))
-    ap.add_argument("--raw-capacity", type=int, default=1 << 16)
+    ap.add_argument("--raw-capacity", type=int, default=0,
+                    help="0 = next power of two >= rings*azimuth")
     ap.add_argument("--map-slots", type=int, default=1 << 17)
     args = ap.parse_args()
+
+    n_scan = args.rings * args.azimuth
+    if args.raw_capacity <= 0:
+        args.raw_capacity = 1 << max(n_scan - 1, 1).bit_length()
+    if args.batch <= 0:
+        args.batch = auto_batch(args.raw_capacity)
+        print(
+            f"auto-batch: {args.batch} instances at {n_scan}-pt scans "
+            f"(raw capacity {args.raw_capacity})",
+            file=sys.stderr,
+        )
 
     # 8-probe capture: the bench default, measured accuracy-neutral
     # (docs/benchmarks.md) — env wins if the caller sets it explicitly
