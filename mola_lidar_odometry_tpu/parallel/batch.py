@@ -13,6 +13,21 @@ inputs; XLA/GSPMD inserts the necessary collectives (psum for the 6x6 normal
 equations, gathers around the hash-map scatter) automatically.  For the
 matcher-dominated workload the fleet axis is the efficient one; the point
 axis exists for few-instance / huge-scan configurations.
+
+**Two fleet-axis lowerings** (measured by eval/shard_cost.py on the virtual
+mesh):
+
+  * :func:`make_sharded_fleet_step` — ``jit`` + ``in_shardings`` (GSPMD).
+    GSPMD cannot prove the flat-memory rewrites of ops/batched_mem (indices
+    ``b*V + slot`` into ``(B*V,)`` tables) stay shard-local, so it
+    ALL-GATHERS the map tables every step (~27 MB/step at toy shapes) —
+    correct, but ICI-bound at scale.  Kept for the point axis and as the
+    semantics oracle.
+  * :func:`make_shardmap_fleet_step` — ``shard_map`` over ``fleet``: each
+    shard runs the vmapped step on its local instances, so every table op
+    is chip-local BY CONSTRUCTION and the compiled program contains zero
+    inter-chip collectives (asserted by eval/shard_cost.py).  This is the
+    production fleet deployment path.
 """
 
 from __future__ import annotations
@@ -69,6 +84,41 @@ def make_sharded_fleet_step(spec: OdometrySpec, mesh: Mesh):
     jitted = jax.jit(fstep, in_shardings=(c_sh, s_sh), out_shardings=None)
     carry0 = jax.device_put(carry0, c_sh)
     return jitted, carry0, s_sh
+
+
+def make_shardmap_fleet_step(spec: OdometrySpec, mesh: Mesh, batch: Optional[int] = None):
+    """shard_map the fleet step over the ``fleet`` axis: each shard runs its
+    ``batch/n_fleet`` local instances; zero inter-chip collectives by
+    construction (see module docstring).  Returns ``(jitted, carry0)``."""
+    from jax.experimental.shard_map import shard_map
+
+    batch = batch or mesh.shape["fleet"]
+    if batch % mesh.shape["fleet"]:
+        raise ValueError(
+            f"batch {batch} must divide over the fleet axis {mesh.shape['fleet']}"
+        )
+    carry0 = init_fleet_carry(spec, batch)
+    scan0 = _dummy_scan(spec, batch)
+    fstep = make_fleet_step(spec)
+
+    def leaf_spec(x):
+        return P("fleet", *([None] * (x.ndim - 1)))
+
+    c_specs = jax.tree_util.tree_map(leaf_spec, carry0)
+    s_specs = jax.tree_util.tree_map(leaf_spec, scan0)
+    _, out0 = jax.eval_shape(fstep, carry0, scan0)
+    o_specs = (c_specs, jax.tree_util.tree_map(leaf_spec, out0))
+
+    fn = shard_map(
+        fstep, mesh=mesh, in_specs=(c_specs, s_specs), out_specs=o_specs,
+        check_rep=False,
+    )
+    jitted = jax.jit(fn)
+    c_sh = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), c_specs
+    )
+    carry0 = jax.device_put(carry0, c_sh)
+    return jitted, carry0
 
 
 def _dummy_scan(spec: OdometrySpec, batch: int) -> Scan:

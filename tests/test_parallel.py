@@ -136,3 +136,32 @@ def test_graft_entry_single():
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
+
+
+def test_shardmap_fleet_matches_vmap_and_is_collective_free():
+    """The shard_map fleet path (the production multi-chip deployment,
+    parallel/batch.py module docstring) must equal the plain vmapped step
+    bitwise-closely AND compile to zero inter-chip collectives."""
+    import re
+
+    spec = make_spec()
+    mesh = pb.make_mesh(8, point_axis=1)
+    step_sm, carry_sm = pb.make_shardmap_fleet_step(spec, mesh)
+    scan = rand_scans(spec, 8, seed=3)
+
+    # collective-free program
+    hlo = step_sm.lower(carry_sm, scan).compile().as_text()
+    bad = re.findall(r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)\(", hlo)
+    assert not bad, f"shard_map fleet path contains collectives: {set(bad)}"
+
+    # same results as the single-device vmapped step
+    fstep = pb.make_fleet_step(spec)
+    c0 = pb.init_fleet_carry(spec, 8)
+    c_ref, out_ref = jax.jit(fstep)(c0, scan)
+    c_sm, out_sm = step_sm(carry_sm, scan)
+    np.testing.assert_allclose(
+        np.asarray(out_sm.pose_t), np.asarray(out_ref.pose_t), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sm.quality), np.asarray(out_ref.quality), atol=1e-5
+    )
