@@ -7,6 +7,11 @@ resume / save-map controls).  Headless hosts can't open a window, so the
 same surface is served over HTTP instead:
 
   * ``/``              — self-refreshing page: latest snapshot + stats
+  * ``/view3d``        — interactive WebGL 3D scene (orbit/zoom, local-map
+    points colored by z, trajectory polyline, vehicle marker, camera-follow
+    toggle — the reference GUI's 3D viewport, :1637-1836; self-contained
+    inline WebGL, no external assets)
+  * ``/points.json``   — decimated local-map points + trajectory + pose
   * ``/snapshot.png``  — most recent top-down render (in-memory PNG)
   * ``/stats.json``    — the GUI label block as JSON (quality, sigma,
     est. range, Hz, speed — the reference's five stat labels, :1841-1862)
@@ -52,7 +57,8 @@ img{{max-width:70vw;border:1px solid #444}}
 pre{{display:inline-block;vertical-align:top;margin-left:2em}}
 a{{color:#8cf}}</style></head>
 <body>
-<h3>mola_lidar_odometry_tpu &mdash; live run</h3>
+<h3>mola_lidar_odometry_tpu &mdash; live run &nbsp;
+<a href="/view3d">[3d view]</a></h3>
 <div>
 <img id="snap" src="/snapshot.png" alt="waiting for first snapshot...">
 <pre id="stats"></pre>
@@ -76,6 +82,111 @@ async function tick() {{
 }}
 setInterval(tick, {period_ms});
 tick();
+</script></body></html>
+"""
+
+
+_VIEW3D = """<!DOCTYPE html>
+<html><head><title>mola-lo-tpu 3d</title>
+<style>body{margin:0;background:#0b0e14;color:#ddd;font-family:monospace}
+#hud{position:fixed;top:8px;left:8px;z-index:2}
+a{color:#8cf;margin-right:1em}canvas{display:block}</style></head>
+<body>
+<div id="hud">
+  <a href="/">2d view</a>
+  <a href="#" id="follow">camera-follow: ON</a>
+  <span id="info"></span>
+</div>
+<canvas id="c"></canvas>
+<script>
+// minimal self-contained WebGL point renderer (no external assets):
+// local-map points colored by z, trajectory polyline, vehicle marker.
+const cv = document.getElementById('c');
+const gl = cv.getContext('webgl');
+const vs = `attribute vec3 p;attribute vec3 col;uniform mat4 mvp;
+uniform float ps;varying vec3 vc;
+void main(){gl_Position=mvp*vec4(p,1.);gl_PointSize=ps;vc=col;}`;
+const fs = `precision mediump float;varying vec3 vc;
+void main(){gl_FragColor=vec4(vc,1.);}`;
+function sh(t,s){const o=gl.createShader(t);gl.shaderSource(o,s);
+gl.compileShader(o);return o;}
+const prog=gl.createProgram();
+gl.attachShader(prog,sh(gl.VERTEX_SHADER,vs));
+gl.attachShader(prog,sh(gl.FRAGMENT_SHADER,fs));
+gl.linkProgram(prog);gl.useProgram(prog);
+const aP=gl.getAttribLocation(prog,'p'),aC=gl.getAttribLocation(prog,'col');
+const uM=gl.getUniformLocation(prog,'mvp'),uS=gl.getUniformLocation(prog,'ps');
+let mapBuf=gl.createBuffer(),mapCol=gl.createBuffer(),nMap=0;
+let trajBuf=gl.createBuffer(),nTraj=0;
+let pose=[0,0,0];
+let yaw=0.7,pitch=0.9,dist=40,center=[0,0,0],follow=true;
+function mat(){ // perspective * orbit lookat
+  const w=cv.width,h=cv.height,f=1.0/Math.tan(0.4),a=w/h,zn=0.5,zf=1000;
+  const P=[f/a,0,0,0, 0,f,0,0, 0,0,(zf+zn)/(zn-zf),-1, 0,0,2*zf*zn/(zn-zf),0];
+  const cx=center[0]+dist*Math.cos(pitch)*Math.cos(yaw);
+  const cy=center[1]+dist*Math.cos(pitch)*Math.sin(yaw);
+  const cz=center[2]+dist*Math.sin(pitch);
+  let zx=cx-center[0],zy=cy-center[1],zz=cz-center[2];
+  const zl=Math.hypot(zx,zy,zz);zx/=zl;zy/=zl;zz/=zl;
+  let xx=-zy,xy=zx,xz=0;const xl=Math.hypot(xx,xy,xz)||1;xx/=xl;xy/=xl;
+  const yx=zy*xz-zz*xy,yy=zz*xx-zx*xz,yz=zx*xy-zy*xx;
+  const V=[xx,yx,zx,0, xy,yy,zy,0, xz,yz,zz,0,
+    -(xx*cx+xy*cy+xz*cz),-(yx*cx+yy*cy+yz*cz),-(zx*cx+zy*cy+zz*cz),1];
+  const M=new Float32Array(16); // P*V
+  for(let i=0;i<4;i++)for(let j=0;j<4;j++){let s=0;
+    for(let k=0;k<4;k++)s+=P[k*4+j]*V[i*4+k];M[i*4+j]=s;}
+  return M;
+}
+function draw(){
+  cv.width=innerWidth;cv.height=innerHeight;
+  gl.viewport(0,0,cv.width,cv.height);
+  gl.clearColor(0.043,0.055,0.078,1);gl.clear(gl.COLOR_BUFFER_BIT);
+  if(follow)center=pose.slice();
+  gl.uniformMatrix4fv(uM,false,mat());
+  if(nMap){gl.uniform1f(uS,2.0);
+    gl.bindBuffer(gl.ARRAY_BUFFER,mapBuf);
+    gl.enableVertexAttribArray(aP);gl.vertexAttribPointer(aP,3,gl.FLOAT,false,0,0);
+    gl.bindBuffer(gl.ARRAY_BUFFER,mapCol);
+    gl.enableVertexAttribArray(aC);gl.vertexAttribPointer(aC,3,gl.FLOAT,false,0,0);
+    gl.drawArrays(gl.POINTS,0,nMap);}
+  if(nTraj){gl.uniform1f(uS,5.0);
+    gl.bindBuffer(gl.ARRAY_BUFFER,trajBuf);
+    gl.enableVertexAttribArray(aP);gl.vertexAttribPointer(aP,3,gl.FLOAT,false,0,0);
+    gl.disableVertexAttribArray(aC);gl.vertexAttrib3f(aC,1.0,0.65,0.2);
+    gl.drawArrays(gl.LINE_STRIP,0,nTraj);
+    gl.drawArrays(gl.POINTS,nTraj-1,1);}
+  requestAnimationFrame(draw);
+}
+let drag=false,lx=0,ly=0;
+cv.onmousedown=e=>{drag=true;lx=e.clientX;ly=e.clientY;};
+window.onmouseup=()=>drag=false;
+window.onmousemove=e=>{if(!drag)return;
+  yaw-=(e.clientX-lx)*0.008;pitch=Math.min(1.5,Math.max(0.05,pitch+(e.clientY-ly)*0.008));
+  lx=e.clientX;ly=e.clientY;};
+cv.onwheel=e=>{dist=Math.min(400,Math.max(3,dist*Math.exp(e.deltaY*0.001)));e.preventDefault();};
+document.getElementById('follow').onclick=e=>{follow=!follow;
+  e.target.textContent='camera-follow: '+(follow?'ON':'OFF');return false;};
+async function refresh(){
+  try{
+    const r=await fetch('/points.json');const d=await r.json();
+    pose=d.pose;
+    const n=d.map.length/3;nMap=n;
+    gl.bindBuffer(gl.ARRAY_BUFFER,mapBuf);
+    gl.bufferData(gl.ARRAY_BUFFER,new Float32Array(d.map),gl.DYNAMIC_DRAW);
+    const cols=new Float32Array(n*3);
+    for(let i=0;i<n;i++){const z=d.map[i*3+2];
+      const t=Math.min(1,Math.max(0,(z-d.zmin)/(d.zmax-d.zmin+1e-6)));
+      cols[i*3]=0.2+0.8*t;cols[i*3+1]=0.5;cols[i*3+2]=1.0-0.8*t;}
+    gl.bindBuffer(gl.ARRAY_BUFFER,mapCol);
+    gl.bufferData(gl.ARRAY_BUFFER,cols,gl.DYNAMIC_DRAW);
+    nTraj=d.traj.length/3;
+    gl.bindBuffer(gl.ARRAY_BUFFER,trajBuf);
+    gl.bufferData(gl.ARRAY_BUFFER,new Float32Array(d.traj),gl.DYNAMIC_DRAW);
+    document.getElementById('info').textContent=
+      ' pts:'+n+' poses:'+nTraj;
+  }catch(e){}
+}
+setInterval(refresh,1500);refresh();draw();
 </script></body></html>
 """
 
@@ -125,6 +236,32 @@ class LiveViewer:
         render_snapshot(self.lo, buf, title=f"frame {self._frames_seen}")
         self._png = buf.getvalue()
 
+    def points_payload(self, max_points: int = 20000) -> dict:
+        """Decimated local-map points + trajectory + pose for the 3D view."""
+        import numpy as _np
+
+        from mola_lidar_odometry_tpu.ops import maps as maps_ops
+
+        pts = _np.zeros((0, 3), _np.float32)
+        for m in self.lo.carry.maps.values():
+            pc = maps_ops.as_pointcloud(m, max_points)
+            xyz = _np.asarray(pc.xyz)[_np.asarray(pc.valid)]
+            pts = _np.concatenate([pts, xyz.astype(_np.float32)])
+        if len(pts) > max_points:
+            pts = pts[:: len(pts) // max_points + 1]
+        traj = _np.asarray(
+            [e["t"] for e in self.lo.trajectory], _np.float32
+        ).reshape(-1, 3)
+        zmin = float(pts[:, 2].min()) if len(pts) else 0.0
+        zmax = float(pts[:, 2].max()) if len(pts) else 1.0
+        return {
+            "map": [round(float(v), 3) for v in pts.ravel()],
+            "traj": [round(float(v), 3) for v in traj.ravel()],
+            "pose": [round(float(v), 3) for v in _np.asarray(self.lo.carry.pose_t)],
+            "zmin": zmin,
+            "zmax": zmax,
+        }
+
     def stats(self) -> dict:
         import numpy as _np
 
@@ -171,6 +308,13 @@ class LiveViewer:
                 if u.path == "/":
                     page = _PAGE.format(period_ms=viewer.refresh_ms)
                     self._send(200, "text/html", page.encode())
+                elif u.path == "/view3d":
+                    self._send(200, "text/html", _VIEW3D.encode())
+                elif u.path == "/points.json":
+                    self._send(
+                        200, "application/json",
+                        json.dumps(viewer.points_payload()).encode(),
+                    )
                 elif u.path == "/snapshot.png":
                     png = viewer._png
                     if png is None:

@@ -129,3 +129,27 @@ def test_gui_toggles_and_save_roundtrip(tmp_path):
         assert len([l for l in lines if l and not l.startswith("#")]) >= 4
     finally:
         viewer.stop()
+
+
+def test_3d_view_endpoints():
+    """/view3d (self-contained WebGL scene) + /points.json payload."""
+    traj, scans = sim.simulate_sequence(2, n_rings=8, n_azimuth=128)
+    lo = LidarOdometry.from_yaml_file(PIPELINE, env={}, **TINY)
+    viewer = LiveViewer(lo, every_n=100)
+    port = viewer.start(port=0)
+    try:
+        for k, (xyz, times, rings, valid) in enumerate(scans):
+            lo.on_lidar_scan(
+                xyz[valid], float(traj.stamps[k]), times=times[valid], ring=rings[valid]
+            )
+            viewer.on_frame()
+        code, body = _get(port, "/view3d")
+        assert code == 200 and b"webgl" in body.lower()
+        assert b"http://" not in body and b"https://" not in body  # no external assets
+        code, body = _get(port, "/points.json")
+        d = json.loads(body)
+        assert len(d["map"]) % 3 == 0 and len(d["map"]) > 0
+        assert len(d["traj"]) == 3 * len(lo.trajectory)
+        assert len(d["pose"]) == 3 and d["zmax"] >= d["zmin"]
+    finally:
+        viewer.stop()
