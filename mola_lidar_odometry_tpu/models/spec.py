@@ -255,14 +255,21 @@ def _icp_from_yaml(block: dict, spec_hook: Tuple[float, float]) -> Tuple[IcpConf
         kernel_param=as_expr(kernel),
         gn_inner_iterations=int(float(gn.get("maxIterations", 2))),
         horn=horn,
-        # 8-probe (nearest 2x2x2 corner block) is the SHIPPED default since
-        # round 3: the full oracle-parity suite (default/ndt/lidar2d
-        # families + the 8 m/s street regime) passes the reference 0.1
-        # per-pose gate and the 1% ATE budget identically at 8 and 27
-        # probes (tests/test_oracle_parity.py run under both), and the
-        # capture gather — the step's costliest instruction — shrinks 3.4x.
-        # 27 restores the full 3x3x3 footprint (exact within one voxel).
-        nn_neighbors=int(os.environ.get("MOLA_TPU_NN_NEIGHBORS", 8)),
+        # Probe-footprint default is PER CONFIG since round 3:
+        #   * single-matcher configs (lidar3d-default — the bench headline —
+        #     lidar2d, kissicp-like): 8 probes (nearest 2x2x2 block).  The
+        #     full oracle-parity suite passes the reference 0.1 per-pose
+        #     gate identically at 8 and 27 for these, and the capture
+        #     gather — the step's costliest instruction — shrinks 3.4x.
+        #   * multi-matcher configs (ndt, dual-map, near-far, rgbd): 27
+        #     (full 3x3x3).  Measured: near-far at 8 probes loses matches
+        #     beyond half a voxel on its cross near->far rows, quality
+        #     collapses to 0.1 and tracking diverges (worst GT error 0.88
+        #     vs 0.20 at 27 — tests/test_oracle_parity.py extras cases).
+        # MOLA_TPU_NN_NEIGHBORS overrides both.
+        nn_neighbors=int(
+            os.environ.get("MOLA_TPU_NN_NEIGHBORS", 8 if len(mcfgs) == 1 else 27)
+        ),
         anderson_m=int(os.environ.get("MOLA_TPU_ICP_ANDERSON", 0)),
         use_pallas=_pallas_default(),
         per_voxel_nn=_pvnn_default(),

@@ -220,3 +220,67 @@ def test_lidar2d_family_parity():
     ]
     tpu, ora = _drive_both(pipeline, traj, scans, overrides)
     _gate(traj, tpu, ora, "lidar2d")
+
+
+def _gt_band(traj, poses):
+    R0, t0 = traj.R[0], traj.t[0]
+    worst = 0.0
+    for k, (R, t) in enumerate(poses):
+        Rg, tg = R0.T @ traj.R[k], R0.T @ (traj.t[k] - t0)
+        Rr, tr = relative(Rg, tg, R, t)
+        worst = max(worst, float(np.linalg.norm(se3_log(Rr, tr))))
+    return worst
+
+
+_DUAL_CAPS = dict(
+    decimated_for_map_raw=16384, decimated_for_map_skewed=16384,
+    decimated_for_map_by_range=16384,
+    decimated_for_icp_near_skewed=8192, decimated_for_icp_near=8192,
+    decimated_for_map_near_skewed=16384, decimated_for_map_near=16384,
+    decimated_for_map_far_skewed=16384, decimated_for_map_far=16384,
+    decimated_for_icp=8192, decimated_for_map=16384,
+)
+_NEARFAR_CAPS = dict(
+    decimated_for_map_raw=16384, decimated_for_map_by_range=16384,
+    near=16384, far=16384, range_filtered=16384,
+    decimated_for_icp_near_skewed=8192, decimated_for_icp_near=8192,
+    decimated_for_icp_far_skewed=8192, decimated_for_icp_far=8192,
+    decimated_for_map_near_skewed=16384, decimated_for_map_near=16384,
+    decimated_for_map_far_skewed=16384, decimated_for_map_far=16384,
+)
+
+
+def _extras_overrides(caps):
+    overrides = dict(TEST_OVERRIDES)
+    overrides["layer_capacities"] = dict(TEST_OVERRIDES["layer_capacities"])
+    overrides["layer_capacities"].update(caps)
+    return overrides
+
+
+def test_dualmap_family_parity():
+    """Dual-map (2 matchers, 2 map layers) holds the strict engine-parity
+    gates like the main families."""
+    pipeline = os.path.join(os.path.dirname(PIPELINE), "extras", "lidar3d-dual-map.yaml")
+    traj, scans = sim.simulate_sequence(n_frames=20, dt=0.1, speed=2.0, noise=0.01)
+    tpu, ora = _drive_both(pipeline, traj, scans, _extras_overrides(_DUAL_CAPS))
+    _gate(traj, tpu, ora, "dual-map")
+
+
+def test_nearfar_family_gt_band():
+    """Near-far is the documented tail config: BOTH engines wander ~0.4-0.5
+    from GT on this world (oracle-corroborated since round 2 — the config's
+    split geometry is ill-conditioned here, so tiny arithmetic differences
+    amplify chaotically and pose-vs-pose gating is the wrong instrument).
+    The meaningful gate: the TPU engine's GT-tracking band must not be
+    WORSE than the exact-arithmetic engine's.  Round-3 note: this test is
+    what exposed the 8-probe footprint breaking multi-matcher configs
+    (quality collapse to 0.1, worst 0.88) — the per-config probe default
+    in models/spec.py is the fix (worst 0.20 at 27 probes)."""
+    pipeline = os.path.join(os.path.dirname(PIPELINE), "extras", "lidar3d-near-far.yaml")
+    traj, scans = sim.simulate_sequence(n_frames=20, dt=0.1, speed=2.0, noise=0.01)
+    tpu, ora = _drive_both(pipeline, traj, scans, _extras_overrides(_NEARFAR_CAPS))
+    tpu_band = _gt_band(traj, [(R, t) for R, t in tpu])
+    ora_band = _gt_band(traj, [(R, t) for R, t in ora])
+    assert tpu_band <= max(1.25 * ora_band, 0.25), (
+        f"near-far: TPU GT band {tpu_band:.3f} vs oracle {ora_band:.3f}"
+    )
