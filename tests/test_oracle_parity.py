@@ -284,3 +284,21 @@ def test_nearfar_family_gt_band():
     assert tpu_band <= max(1.25 * ora_band, 0.25), (
         f"near-far: TPU GT band {tpu_band:.3f} vs oracle {ora_band:.3f}"
     )
+
+
+def test_kissicp_family_parity():
+    """KISS-ICP ablation config (single matcher, no bbox cull, zero KF
+    thresholds) under the strict engine-parity gates."""
+    pipeline = os.path.join(
+        os.path.dirname(PIPELINE), "extras", "lidar3d-kissicp-like.yaml"
+    )
+    overrides = dict(TEST_OVERRIDES)
+    overrides["layer_capacities"] = dict(
+        TEST_OVERRIDES["layer_capacities"],
+        decimated_for_map_skewed=16384, filtered=16384, deskewed=1 << 15,
+    )
+    # 30 frames: the engine divergence saturates as an offset (~0.03 m),
+    # so the 1%-of-path gate needs path length (same note as ndt/lidar2d)
+    traj, scans = sim.simulate_sequence(n_frames=30, dt=0.1, speed=2.0, noise=0.01)
+    tpu, ora = _drive_both(pipeline, traj, scans, overrides)
+    _gate(traj, tpu, ora, "kissicp-like")
