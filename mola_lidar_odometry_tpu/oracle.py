@@ -176,6 +176,34 @@ class ExactVoxelMap:
         """Points the NN matcher pairs against (= stored points)."""
         return self.points()
 
+    def nearest_plane_fit(self, q, *, search_radius, min_plane_points, eigen_thr):
+        """On-the-fly local plane fit per query (Matcher_Point2Plane against
+        point maps; mirrors ops/voxel_hash.p2pl_from: fit over all stored
+        points within ``search_radius``, exact eigh).  Returns
+        ``(plane_pt, normal, found)``."""
+        tree, pts = self.tree()
+        N = len(q)
+        plane_pt = np.zeros((N, 3))
+        nrm = np.zeros((N, 3))
+        found = np.zeros(N, bool)
+        if len(pts) == 0:
+            return plane_pt, nrm, found
+        for i, nbrs in enumerate(tree.query_ball_point(q, search_radius)):
+            if len(nbrs) < min_plane_points:
+                continue
+            rel = pts[nbrs] - q[i]
+            mean = rel.mean(axis=0)
+            C = (rel - mean).T @ (rel - mean) / len(nbrs)
+            w, V = np.linalg.eigh(C)
+            if w[0] > eigen_thr * max(w[1], 1e-12):
+                continue
+            n = V[:, 0]
+            dpl = -float(n @ mean)  # signed dist: query - centroid
+            plane_pt[i] = q[i] - dpl * n
+            nrm[i] = n
+            found[i] = True
+        return plane_pt, nrm, found
+
     def clear(self) -> None:
         self.vox.clear()
         self._tree = None
@@ -406,6 +434,21 @@ def _decimate_first_point(pts: np.ndarray, times: np.ndarray, res: float):
     return pts[keep], times[keep]
 
 
+def _decimate_closest_to_average(pts: np.ndarray, times: np.ndarray, res: float):
+    """Exact ClosestToAverage: per voxel, keep the point nearest the voxel
+    centroid (lowest input index breaks ties); winners in input order."""
+    keys = np.floor(pts / res).astype(np.int64)
+    groups: Dict[Tuple[int, int, int], list] = {}
+    for i, k in enumerate(map(tuple, keys)):
+        groups.setdefault(k, []).append(i)
+    keep = np.zeros(len(pts), bool)
+    for idxs in groups.values():
+        sub = pts[idxs]
+        d2 = np.sum((sub - sub.mean(axis=0)) ** 2, axis=1)
+        keep[idxs[int(np.argmin(d2))]] = True
+    return pts[keep], times[keep]
+
+
 def _deskew(c: Cloud, twist: np.ndarray) -> Cloud:
     """Vectorized per-point ``R(w*dt) p + v*dt`` (Rodrigues, f64)."""
     v, w = twist[:3], twist[3:]
@@ -446,9 +489,14 @@ def apply_pipeline_exact(
             if len(c.xyz) < op.min_input_points:
                 layers[op.output] = Cloud(c.xyz.copy(), c.time.copy())
                 continue
-            if op.method != "FirstPoint":
-                raise ValueError(f"oracle supports FirstPoint only, got {op.method}")
-            p, t = _decimate_first_point(c.xyz, c.time, _f(op.resolution(env)))
+            if op.method == "FirstPoint":
+                p, t = _decimate_first_point(c.xyz, c.time, _f(op.resolution(env)))
+            elif op.method == "ClosestToAverage":
+                p, t = _decimate_closest_to_average(
+                    c.xyz, c.time, _f(op.resolution(env))
+                )
+            else:
+                raise ValueError(f"oracle: unsupported DecimateMethod {op.method}")
             layers[op.output] = Cloud(p, t)
         elif isinstance(op, FG.RangeOp):
             c = layers[op.input]
@@ -736,10 +784,19 @@ class OracleOdometry:
                     math.radians(mc.threshold_angular_deg)
                 )
             if mc.kind == "point2plane":
-                mu, nrm, found = m.nearest_plane(q)
-                dpl = np.sum(nrm * (q - mu), axis=1)
+                if isinstance(m, ExactNdtMap):
+                    mu, nrm, found = m.nearest_plane(q)
+                    dpl = np.sum(nrm * (q - mu), axis=1)
+                    plane_pt = q - dpl[:, None] * nrm
+                else:  # point map: on-the-fly local plane fit (rgbd.yaml)
+                    plane_pt, nrm, found = m.nearest_plane_fit(
+                        q,
+                        search_radius=mc.search_radius,
+                        min_plane_points=mc.min_plane_points,
+                        eigen_thr=mc.plane_eigen_threshold,
+                    )
+                    dpl = np.sum(nrm * (q - plane_pt), axis=1)
                 pv = found & (dpl * dpl < thr * thr)
-                plane_pt = q - dpl[:, None] * nrm
                 blocks.append(("p2pl", p_loc[pv], plane_pt[pv], nrm[pv], mc.weight))
                 paired += float(np.sum(pv))
                 continue
@@ -871,11 +928,64 @@ class OracleOdometry:
         quality = paired / max(n_local, 1.0)
         return R, t, quality, total_iters, corr, layers
 
+    @staticmethod
+    def _edge_mask(xyz, ring, valid, score_threshold, row_window_length):
+        """Exact twin of ops/filters.range_image_edge_mask (LOAM-style
+        row-window range-difference score on the ORGANIZED array order —
+        pass the full un-compacted scan so roll-adjacency matches)."""
+        r = np.linalg.norm(xyz, axis=1)
+        score = np.zeros_like(r)
+        in_row = np.ones_like(r, bool)
+        w = max(1, row_window_length // 2)
+        for j in range(1, w + 1):
+            for sgn in (-1, 1):
+                rj = np.roll(r, sgn * j)
+                ring_ok = np.roll(ring, sgn * j) == ring
+                vj = np.roll(valid, sgn * j) & ring_ok
+                score += np.where(vj, np.abs(rj - r), 0.0)
+                in_row &= vj
+        rel = 100.0 * score / np.maximum(r, 1e-6)
+        return valid & in_row & (rel > score_threshold)
+
     # -- the per-scan step ---------------------------------------------------
-    def step(self, xyz: np.ndarray, times: np.ndarray, stamp: float) -> OracleOutput:
+    def step(
+        self,
+        xyz: np.ndarray,
+        times: np.ndarray,
+        stamp: float,
+        ring: Optional[np.ndarray] = None,
+        valid: Optional[np.ndarray] = None,
+    ) -> OracleOutput:
+        """Process one scan.  For organized-scan generators (rgbd edges)
+        pass the FULL array with ``ring`` + ``valid`` so row adjacency
+        matches the device path; otherwise pass compacted points."""
         spec = self.spec
         xyz = np.asarray(xyz, np.float64)
         times = np.asarray(times, np.float64)
+        edge_ops = [
+            op
+            for op in spec.generator_pipeline
+            if isinstance(op, FG.EdgesFromRangeImageOp)
+        ]
+        gen_layers: Dict[str, Cloud] = {}
+        if edge_ops:
+            if ring is None:
+                raise ValueError("organized-scan pipeline needs ring indices")
+            v = (
+                np.ones(len(xyz), bool)
+                if valid is None
+                else np.asarray(valid, bool)
+            )
+            for op in edge_ops:
+                em = self._edge_mask(
+                    xyz, np.asarray(ring), v, op.score_threshold, op.row_window_length
+                )
+                gen_layers[op.target_layer] = Cloud(xyz[em], times[em])
+                if op.planes_target_layer:
+                    pm = v & ~em
+                    gen_layers[op.planes_target_layer] = Cloud(xyz[pm], times[pm])
+        if valid is not None:
+            xyz, times = xyz[valid], times[valid]
         if self.last_time is not None and stamp - self.last_time < spec.min_time_between_scans:
             out = OracleOutput(self.R, self.t, stamp, 0.0, 0, False, False)
             self.outputs.append(out)
@@ -891,7 +1001,7 @@ class OracleOdometry:
             self.est_range = raw_radius
         env = self._env(stamp)
 
-        layers = {"raw": Cloud(xyz, times)}
+        layers = {"raw": Cloud(xyz, times), **gen_layers}
         layers = apply_pipeline_exact(spec.adjust_pipeline, layers, env)
         layers = apply_pipeline_exact(spec.filter1, layers, env)
         layers = apply_pipeline_exact(spec.filter2, layers, env)

@@ -151,7 +151,8 @@ def _drive_both(pipeline_path, traj, scans, overrides):
             xyz[valid], stamp=stamp, times=times[valid], ring=rings[valid]
         )
         o = oracle.step(
-            xyz[valid].astype(np.float64), times[valid].astype(np.float64), stamp
+            xyz[valid].astype(np.float64), times[valid].astype(np.float64), stamp,
+            ring=rings[valid],
         )
         tpu_poses.append(
             (np.asarray(out.pose_R, np.float64), np.asarray(out.pose_t, np.float64))
@@ -302,3 +303,21 @@ def test_kissicp_family_parity():
     traj, scans = sim.simulate_sequence(n_frames=30, dt=0.1, speed=2.0, noise=0.01)
     tpu, ora = _drive_both(pipeline, traj, scans, overrides)
     _gate(traj, tpu, ora, "kissicp-like")
+
+
+def test_rgbd_family_parity():
+    """rgbd: edges/planes from the organized range image, point-to-point on
+    edge voxels + on-the-fly plane-fit point-to-plane on the SparseTrees
+    planes layer — the last matcher/map family to get the exact-arithmetic
+    anchor."""
+    pipeline = os.path.join(os.path.dirname(PIPELINE), "rgbd.yaml")
+    overrides = dict(TEST_OVERRIDES)
+    overrides["layer_capacities"] = dict(
+        TEST_OVERRIDES["layer_capacities"],
+        edges=16384, planes=1 << 15,
+        edges_for_map=8192, edges_for_icp=8192,
+        planes_for_map=16384, planes_for_icp=8192,
+    )
+    traj, scans = sim.simulate_sequence(n_frames=24, dt=0.1, speed=2.0, noise=0.01)
+    tpu, ora = _drive_both(pipeline, traj, scans, overrides)
+    _gate(traj, tpu, ora, "rgbd")
