@@ -5,5 +5,5 @@ SCRIPT_DIR=$( cd -- "$( dirname -- "${BASH_SOURCE[0]}" )" &> /dev/null && pwd )
 cd "$SCRIPT_DIR/.." || exit 1
 exec python -m mola_lidar_odometry_tpu.apps.cli \
   -c "${PIPELINE_YAML:-pipelines/lidar3d-default.yaml}" \
-  --input-paris-luco "${PARIS_LUCO_BASE_DIR:?set PARIS_LUCO_BASE_DIR}" \
+  --input-paris-luco \
   --live-viz "${LIVE_VIZ_PORT:-8731}" "$@"
