@@ -142,7 +142,9 @@ def main():
     # (saturation = silent truncation = the bench quietly measures less work)
     nmax = int(np.asarray(nicp).max())
     qmean = float(np.asarray(q)[1:].mean())
-    assert qmean > 0.9, "quality regressed: %.3f" % qmean
+    guards = []  # a guard failure must still emit the JSON line (flagged)
+    if not qmean > 0.9:
+        guards.append("quality regressed: %.3f" % qmean)
     # GT-drift guard: pair-ratio quality alone can look healthy while the
     # trajectory slides (a drifting map stays self-consistent), so the
     # bench ALSO checks the final pose against simulator ground truth.
@@ -154,11 +156,14 @@ def main():
     _est = _se3.Pose(jnp.asarray(carry_end.pose_R[0]), jnp.asarray(carry_end.pose_t[0]))
     gt_err = float(jnp.linalg.norm(_se3.se3_log(_se3.relative(_se3.relative(_G0, _Gk), _est))))
     # measured 0.178 in round 2; 0.25 keeps ~40% headroom (was 0.5)
-    assert gt_err < 0.25, "GT drift regressed: %.3f" % gt_err
+    if not gt_err < 0.25:
+        guards.append("GT drift regressed: %.3f" % gt_err)
     log(f"final-pose GT error: {gt_err:.3f}")
-    assert nmax < 2560, f"decimated_for_icp saturated: {nmax}"
+    if not nmax < 2560:
+        guards.append(f"decimated_for_icp saturated: {nmax}")
     mmax = int(np.asarray(nmap).max())
-    assert mmax < 13312, f"decimated_for_map saturated: {mmax}"
+    if not mmax < 13312:
+        guards.append(f"decimated_for_map saturated: {mmax}")
     log(f"icp-layer occupancy: max {nmax}/2560; map-layer: {mmax}/13312")
 
     best = np.inf
@@ -179,16 +184,19 @@ def main():
         f"hash-collision drops={int(np.asarray(cold).sum())}"
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "KITTI-like scans/sec/chip (batched lidar3d-default)",
-                "value": round(scans_per_sec, 2),
-                "unit": "scans/s/chip",
-                "vs_baseline": round(scans_per_sec / 2000.0, 4),
-            }
-        )
-    )
+    result = {
+        "metric": "KITTI-like scans/sec/chip (batched lidar3d-default)",
+        "value": round(scans_per_sec, 2),
+        "unit": "scans/s/chip",
+        "vs_baseline": round(scans_per_sec / 2000.0, 4),
+    }
+    if guards:
+        # accuracy/capacity guard failed: the throughput number is still
+        # reported, flagged as measuring a degraded configuration
+        result["guard_failed"] = "; ".join(guards)
+    print(json.dumps(result))
+    if guards:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
