@@ -61,15 +61,12 @@ def main() -> int:
     if args.raw_capacity <= 0:
         args.raw_capacity = 1 << max(n_scan - 1, 1).bit_length()
     if args.batch <= 0:
-        args.batch = auto_batch(args.raw_capacity)
+        args.batch = auto_batch(n_scan)
         print(
             f"auto-batch: {args.batch} instances at {n_scan}-pt scans "
             f"(raw capacity {args.raw_capacity})",
             file=sys.stderr,
         )
-
-    # 8-probe capture: the bench default, measured accuracy-neutral
-    # (docs/benchmarks.md) — env wins if the caller sets it explicitly
 
     import jax
 

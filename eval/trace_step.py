@@ -105,9 +105,10 @@ def main():
             continue
         name = ev.get("name", "?")
         a = ev.get("args", {}) or {}
-        # skip tracing-infra rows (run_id containers etc.)
-        if name.startswith("jit_") or "program_id" in name and not a:
-            pass
+        # skip container rows (jit_ program spans wrap all child ops and
+        # would double-count device time)
+        if name.startswith("jit_") or ("program_id" in name and not a):
+            continue
         dur = float(ev.get("dur", 0.0))
         agg[name] += dur
         total += dur

@@ -397,11 +397,12 @@ class RawlogDataset(OfflineDataset):
         if obs.points is not None:
             xyz = np.asarray(obs.points, np.float32)
         else:
-            # project the 2D scan into sensor-frame points (valid rays only)
+            # project the 2D scan into sensor-frame points (valid rays only);
+            # MRPT beam spacing is endpoint-inclusive: ang_i = -ap/2 +
+            # ap*i/(N-1) (mrpt CObservation2DRangeScan convention)
             n = len(obs.scan_ranges)
             span = obs.aperture
-            a0 = -span / 2.0
-            ang = a0 + span * (np.arange(n) + 0.5) / n
+            ang = -span / 2.0 + span * np.arange(n) / max(n - 1, 1)
             if not obs.right_to_left:
                 ang = ang[::-1]
             rr = np.asarray(obs.scan_ranges, np.float32)

@@ -77,9 +77,14 @@ def main(argv=None) -> int:
                 slot = int(np.argmin(np.abs(its - args.pairings)))
                 det = d["pair_details"][slot]
                 v = det[:, 7] > 0
-                # pairing segments: local point (sensor frame, at the
-                # logged pose) -> matched map target
-                R, tt = d["poses_R"][its[slot]], d["poses_t"][its[slot]]
+                # pairing segments: local point transformed by the pose
+                # ENTERING the detail iteration (poses_R/t[i] are recorded
+                # AFTER iteration i's update; iteration 0 enters at pose0)
+                it0 = int(its[slot])
+                if it0 == 0 and "pose0_R" in d:
+                    R, tt = d["pose0_R"], d["pose0_t"]
+                else:
+                    R, tt = d["poses_R"][max(it0 - 1, 0)], d["poses_t"][max(it0 - 1, 0)]
                 lp = det[v, :3] @ R.T + tt
                 tp = det[v, 3:6]
                 for a, b in zip(lp[::5], tp[::5]):  # decimate for legibility

@@ -190,24 +190,26 @@ class LidarOdometry:
             from mola_lidar_odometry_tpu.utils.capacity import derive_capacities
 
             cfg, overrides = self._auto_cfg
-            raw_cap, map_slots, layer_caps = derive_capacities(
-                self.spec, first_xyz, first_times
+            derived = dict(
+                zip(
+                    ("raw_capacity", "map_slots", "layer_capacities"),
+                    derive_capacities(self.spec, first_xyz, first_times),
+                )
             )
-            self.spec = spec_from_yaml(
-                cfg,
-                raw_capacity=raw_cap,
-                map_slots=map_slots,
-                layer_capacities=layer_caps,
-                **overrides,
-            )
+            # explicit caller overrides always win over derived sizes
+            derived.update(overrides)
+            self.spec = spec_from_yaml(cfg, **derived)
             self._auto_cfg = None
             # no scan has been processed yet: rebuild the carry at the
             # derived shapes
             self.carry = step_mod.init_carry(self.spec)
 
-        z = np.asarray(first_xyz)[:, 2] if len(first_xyz) else np.zeros(1)
-        planar = bool(np.max(np.abs(z)) < 1e-6) if z.size else False
-        self.spec = dataclasses.replace(self.spec, pin_se2=planar)
+        if self.spec.pin_se2 is None:
+            # auto mode only: an explicit YAML pin_se2 must never be
+            # overridden by first-scan planarity detection
+            z = np.asarray(first_xyz)[:, 2] if len(first_xyz) else np.zeros(1)
+            planar = bool(np.max(np.abs(z)) < 1e-6) if z.size else False
+            self.spec = dataclasses.replace(self.spec, pin_se2=planar)
         self._step = jax.jit(step_mod.make_step(self.spec))
 
     def set_mapping_enabled(self, enabled: bool) -> None:
@@ -383,15 +385,20 @@ class LidarOdometry:
                     mc.local_layer: (layers[mc.local_layer].xyz, layers[mc.local_layer].valid)
                     for mc in cfg.matchers
                 }
-                return replay_align_with_trace(
+                trace = replay_align_with_trace(
                     carry.maps, icp_layers, pose0, nav.prior, cfg, env,
                     n_iters, detail_every=detail_every,
                 )
+                return trace + (pose0.R, pose0.t)
 
             self._icp_replay = jax.jit(replay)
 
-        Rs, ts, paired, det = self._icp_replay(self.carry, scan)
-        extra = {}
+        Rs, ts, paired, det, p0R, p0t = self._icp_replay(self.carry, scan)
+        extra = {
+            # align entry pose: details of detail-slot 0 were recorded here
+            "pose0_R": np.asarray(p0R, np.float32),
+            "pose0_t": np.asarray(p0t, np.float32),
+        }
         if det is not None:
             # per-detail-iteration pairings: [lx ly lz tx ty tz d2 valid]
             extra["pair_details"] = np.asarray(det, np.float32)
@@ -446,12 +453,29 @@ class LidarOdometry:
             return
         self.frames_processed += 1
 
+        # raw-truncation watchdog: a scan padded EXACTLY to capacity very
+        # likely lost points in _pad_scan (silent truncation)
+        if (
+            int(out.n_raw) >= self.spec.raw_capacity
+            and not getattr(self, "_raw_truncation_warned", False)
+        ):
+            self._raw_truncation_warned = True
+            import logging
+
+            logging.getLogger("mola_lidar_odometry_tpu").warning(
+                "scan filled the raw buffer (%d points): larger scans are "
+                "being truncated — grow raw_capacity",
+                self.spec.raw_capacity,
+            )
+
         # capacity-saturation watchdog (VERDICT-7): collision drops beyond
         # 0.1% of inserts in a rolling window mean map_slots is undersized
-        # for this world — warn instead of silently degrading.
-        self._drop_window.append(
-            (int(out.map_collision_drops), max(int(out.n_map_layer), 1))
-        )
+        # for this world — warn instead of silently degrading.  Only
+        # keyframe frames insert (non-KF frames would dilute the ratio).
+        if bool(out.kf_local):
+            self._drop_window.append(
+                (int(out.map_collision_drops), max(int(out.n_map_layer), 1))
+            )
         if len(self._drop_window) > 32:
             self._drop_window.pop(0)
         drops = sum(d for d, _ in self._drop_window)

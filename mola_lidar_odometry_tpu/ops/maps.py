@@ -128,15 +128,12 @@ def insert_stats(state, pc: PointCloud, sensor_origin=None, layer_def: "MapLayer
     if isinstance(state, ndt.NdtMap):
         return ndt.insert_stats(state, pc)
     if isinstance(state, occupancy.OccupancyMap):
-        return (
-            occupancy.insert(
-                state,
-                pc,
-                sensor_origin,
-                ray_trace=layer_def.ray_trace_free_space if layer_def else True,
-                max_ray_samples=layer_def.max_ray_samples if layer_def else 512,
-            ),
-            voxel_hash.InsertStats.zero(),
+        return occupancy.insert_stats(
+            state,
+            pc,
+            sensor_origin,
+            ray_trace=layer_def.ray_trace_free_space if layer_def else True,
+            max_ray_samples=layer_def.max_ray_samples if layer_def else 512,
         )
     raise TypeError(type(state))
 

@@ -169,6 +169,19 @@ def insert(
     ray_trace: bool = True,
     max_ray_samples: int = 512,
 ) -> OccupancyMap:
+    return insert_stats(
+        m, pc, sensor_origin, ray_trace=ray_trace, max_ray_samples=max_ray_samples
+    )[0]
+
+
+def insert_stats(
+    m: OccupancyMap,
+    pc: PointCloud,
+    sensor_origin=None,
+    *,
+    ray_trace: bool = True,
+    max_ray_samples: int = 512,
+):
     """Insert a scan (global frame); ``sensor_origin`` (3,) is the ray origin
     for the free-space pass.  ``ray_trace``/``max_ray_samples`` are static
     (they shape the program) and come from the MapLayerDef, not the state."""
@@ -214,8 +227,10 @@ def insert(
     same_as_winner = jnp.all(w_coords == coords, axis=-1)
     # drop only same-voxel losers; different voxels sharing a scratch slot keep
     newly = newly & ((w_idx == idx) | ~same_as_winner)
-    match = vh.insert(m2.match, PointCloud.from_xyz(centers, valid=newly))
-    return m2._replace(match=match)
+    # match-index pressure is observable: a coarse cell overflowing its
+    # point cap (full_drops) hides occupied surface from the matcher
+    match, mstats = vh.insert_stats(m2.match, PointCloud.from_xyz(centers, valid=newly))
+    return m2._replace(match=match), mstats
 
 
 def prune_farther_than(m: OccupancyMap, center: jax.Array, distance) -> OccupancyMap:

@@ -89,7 +89,11 @@ def derive_capacities(
     layers = O.apply_pipeline_exact(spec.filter1, layers, env)
     layers = O.apply_pipeline_exact(spec.filter2, layers, env)
 
-    raw_capacity = _next_pow2(n)
+    # 1.25x headroom: the first scan is often SMALLER than steady state
+    # (partial first revolution in recorded bags), and _pad_scan silently
+    # truncates anything past raw_capacity.  A truncation watchdog in
+    # models/odometry.py covers the remaining tail.
+    raw_capacity = _next_pow2(int(n * 1.25))
     caps: Dict[str, int] = {"raw": raw_capacity}
     for name, c in layers.items():
         if name == "raw":

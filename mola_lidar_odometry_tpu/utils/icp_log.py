@@ -106,13 +106,15 @@ def replay_align_with_trace(
         candsets = icp_ops._capture_all(cfg, maps, layers, pose)
         blocks, paired, _ = icp_ops._matcher_blocks(cfg, candsets, layers, pose, env_it, it)
         if want_details:
+            from mola_lidar_odometry_tpu.ops import se3 as _se3
+
             b0 = blocks[0]
-            tp = b0.p_local  # sensor-frame local points
+            tp_g = _se3.transform(pose, b0.p_local)  # map frame, at THIS pose
             row = jnp.concatenate(
                 [
-                    tp,
-                    b0.q_global,
-                    jnp.sum((b0.q_global - tp) ** 2, axis=-1, keepdims=True),
+                    b0.p_local,  # sensor-frame local points
+                    b0.q_global,  # matched map targets
+                    jnp.sum((b0.q_global - tp_g) ** 2, axis=-1, keepdims=True),
                     b0.valid.astype(jnp.float32)[:, None],
                 ],
                 axis=-1,

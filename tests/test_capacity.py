@@ -123,8 +123,9 @@ class TestAutoCapacity:
         assert float(out.quality) > 0.9
         ratio = drops / max(inserts, 1)
         assert ratio < 0.001, f"collision drops {100*ratio:.3f}% of inserts"
-        # the dry pass actually derived the sizes (not the env defaults)
-        assert lo.spec.raw_capacity == 16384
+        # the dry pass actually derived the sizes (not the env defaults);
+        # raw gets 1.25x headroom over the first scan (16384 pts -> 32768)
+        assert lo.spec.raw_capacity == 32768
         assert lo.spec.map_layers[0].num_slots >= 1 << 16
 
     def test_layer_capacities_not_saturated(self):
