@@ -6,19 +6,35 @@ points``, ``remove_voxels_farther_than`` L1 pruning, ``max_eigen_ratio_for_
 planes``) and the plane side of ``mp2p_icp::Matcher_Point2Plane``
 (pipelines/lidar3d-ndt.yaml:195-200).
 
-Design: the same direct-mapped spatial-hash layout as ops/voxel_hash, with
-two stores per slot:
+Storage (round 3): the same 128-lane int32 bucket design as
+ops/voxel_hash — the table is ``(NB, 128) i32`` rows, each row a 4-way
+bucket of stride-32 slot windows:
 
-  * raw Gaussian **moments** for accumulation (scatter-add on insert):
-    ``s (V, 3)`` point sums and ``ss (V, 6)`` symmetric-packed second moments.
-    Moments are accumulated RELATIVE TO THE VOXEL CENTER (integer key * voxel
-    size + half): at km-scale global positions (KITTI length) ``ulp(x^2)``
-    reaches 0.1-1.0 in f32 and swamps true in-voxel variances; center-relative
-    accumulation keeps every term O(voxel_size).
-  * a packed **query row** ``qdata (V, 12)`` refreshed after every insert:
-    ``[key3 | n | mean3 | normal3 | plane_ok | pad]`` — so a neighborhood
-    probe is ONE fused gather (per-gather fixed cost dominates on TPU; see
-    ops/voxel_hash docstring)
+  lane 0      wrapped 12|12|8 packed voxel key (voxel_hash.pack_key)
+  lane 1      state: ``epoch16 << 16 | n`` (point count, capped 65535)
+  lanes 2:5   s  — f32-bit moment sums, VOXEL-CENTER-RELATIVE (at km-scale
+              positions ulp(x^2) in f32 swamps in-voxel variances; relative
+              accumulation keeps every term O(voxel_size))
+  lanes 5:11  ss — symmetric-packed second moments [xx yy zz xy xz yz]
+  lanes 11:14 mean (GLOBAL frame, f32 bits) — derived, kept hot for capture
+  lanes 14:17 plane normal
+  lane 17     plane_ok flag
+
+Design deltas vs the round-2 layout (three measured-cost-model fixes):
+
+  * **4-way buckets**: a voxel claims any stale way of its row, so a slot
+    collision needs FOUR other live voxels in the bucket (was: one) — same
+    gather traffic, the row is already in registers.
+  * **One scatter instruction**: insert computes each voxel subrun's POST-
+    INSERT totals (segmented scans in the sorted domain) and scatter-SETs
+    18 identical-per-subrun words per point — replacing 4 scatter
+    instructions (key set + count add + s add + ss add).  Writing totals
+    instead of deltas also makes re-claimed slots start from exact zeros.
+  * **No whole-table plane refresh**: mean/normal/plane_ok are recomputed
+    for TOUCHED voxels only, inside the same scatter — the old
+    ``_refresh_planes`` rewrote 7 full columns of the table on every
+    insert (the whole-table-write class the cost model forbids under
+    vmap).
 
 Plane normals come from a closed-form 3x3 symmetric eigen solve on the VPU
 (no iterative eigh).  The reference's ``min_distance_between_points`` dedup
@@ -35,67 +51,101 @@ import jax.numpy as jnp
 
 from mola_lidar_odometry_tpu.ops.filters import voxel_coords, voxel_hash
 from mola_lidar_odometry_tpu.ops.pointcloud import PointCloud
-from mola_lidar_odometry_tpu.ops.voxel_hash import claim_slots, neighbor_coords
+from mola_lidar_odometry_tpu.ops.voxel_hash import (
+    InsertStats,
+    neighbor_coords,
+    pack_key,
+    unpack_key_near,
+)
+
+_STRIDE = 32
+_WAYS = 128 // _STRIDE  # 4
+_MAX_N = 0xFFFF
 
 
 class NdtMap(NamedTuple):
-    """Fixed-capacity NDT voxel map (all arrays device-resident)."""
+    """Fixed-capacity NDT voxel map (128-lane 4-way bucket rows)."""
 
     voxel_size: jax.Array  # () f32
     max_eigen_ratio: jax.Array  # () f32 — lambda_min/lambda_mid plane gate
-    qdata: jax.Array  # (V, 12) f32 packed query rows [key3|n|mean3|nrm3|ok|pad]
-    s: jax.Array  # (V, 3) f32 moment sums
-    ss: jax.Array  # (V, 6) f32 sym-packed second moments
+    data: jax.Array  # (num_slots/4, 128) i32
+    epoch: jax.Array  # () i32 — slots live iff their state epoch matches
 
     MIN_POINTS_FOR_PLANE = 5
 
     @property
     def num_slots(self) -> int:
-        return self.qdata.shape[0]
+        return self.data.shape[-2] * _WAYS
 
     @property
-    def keys(self) -> jax.Array:
-        return self.qdata[:, :3].astype(jnp.int32)
+    def num_buckets(self) -> int:
+        return self.data.shape[-2]
+
+    @property
+    def _epoch16(self) -> jax.Array:
+        return self.epoch & jnp.int32(0xFFFF)
+
+    # -- decoded whole-table views (cold paths: viz, serialization, tests) --
+    @property
+    def _windows(self) -> jax.Array:
+        return self.data.reshape(self.num_slots, _STRIDE)
+
+    @property
+    def _fresh(self) -> jax.Array:
+        return ((self._windows[:, 1] >> 16) & 0xFFFF) == self._epoch16
 
     @property
     def n(self) -> jax.Array:
-        return self.qdata[:, 3].astype(jnp.int32)
+        return jnp.where(self._fresh, self._windows[:, 1] & 0xFFFF, 0)
+
+    @property
+    def keys(self) -> jax.Array:
+        return unpack_key_near(self._windows[:, 0], jnp.zeros(3, jnp.int32))
+
+    def _f32_lanes(self, lo: int, hi: int) -> jax.Array:
+        w = jax.lax.bitcast_convert_type(
+            self._windows[:, lo:hi], jnp.float32
+        )
+        return jnp.where(self._fresh[:, None], w, 0.0)
+
+    @property
+    def s(self) -> jax.Array:
+        return self._f32_lanes(2, 5)
+
+    @property
+    def ss(self) -> jax.Array:
+        return self._f32_lanes(5, 11)
+
+    def means(self) -> jax.Array:
+        return self._f32_lanes(11, 14)
 
     @property
     def normal(self) -> jax.Array:
-        return self.qdata[:, 7:10]
+        return self._f32_lanes(14, 17)
 
     @property
     def plane_ok(self) -> jax.Array:
-        return self.qdata[:, 10] > 0
+        return self._fresh & (self._windows[:, 17] > 0)
 
     def num_voxels(self) -> jax.Array:
-        return jnp.sum(self.qdata[:, 3] > 0)
+        return jnp.sum(self.n > 0)
 
     def is_empty(self) -> jax.Array:
-        return jnp.all(self.qdata[:, 3] == 0)
-
-    def means(self) -> jax.Array:
-        return self.qdata[:, 4:7]
+        return jnp.all(self.n == 0)
 
     @staticmethod
     def create(num_slots: int, voxel_size, max_eigen_ratio=0.05) -> "NdtMap":
-        if num_slots & (num_slots - 1):
-            raise ValueError("num_slots must be a power of two")
+        if num_slots & (num_slots - 1) or num_slots < _WAYS:
+            raise ValueError("num_slots must be a power of two >= 4")
         return NdtMap(
             voxel_size=jnp.asarray(voxel_size, jnp.float32),
             max_eigen_ratio=jnp.asarray(max_eigen_ratio, jnp.float32),
-            qdata=jnp.zeros((num_slots, 12), jnp.float32),
-            s=jnp.zeros((num_slots, 3), jnp.float32),
-            ss=jnp.zeros((num_slots, 6), jnp.float32),
+            data=jnp.zeros((num_slots // _WAYS, 128), jnp.int32),
+            epoch=jnp.int32(1),  # zero-filled rows are born dead
         )
 
     def clear(self) -> "NdtMap":
-        return self._replace(
-            qdata=self.qdata.at[:, 3:].set(0.0),
-            s=jnp.zeros_like(self.s),
-            ss=jnp.zeros_like(self.ss),
-        )
+        return self._replace(epoch=self.epoch + 1)
 
 
 def _sym_eigen_smallest(cov6: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -151,98 +201,170 @@ def _sym_eigen_smallest(cov6: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Arra
     return v, e3, e2
 
 
-def _voxel_centers(m: NdtMap) -> jax.Array:
-    return (m.qdata[:, :3] + 0.5) * m.voxel_size
-
-
-def _refresh_planes(m: NdtMap) -> NdtMap:
-    """Recompute per-voxel mean/normal/plane validity into the query rows.
-
-    ``s``/``ss`` hold voxel-center-relative moments, so the covariance is
-    formed from O(voxel_size) quantities and stays exact in f32 regardless
-    of how far the vehicle is from the origin.
-    """
-    nf32 = m.qdata[:, 3]
-    nf = jnp.maximum(nf32, 1.0)[:, None]
-    mean_rel = m.s / nf
-    mx, my, mz = mean_rel[:, 0], mean_rel[:, 1], mean_rel[:, 2]
-    cov6 = m.ss / nf - jnp.stack(
-        [mx * mx, my * my, mz * mz, mx * my, mx * mz, my * mz], axis=-1
-    )
-    v, e_min, e_mid = _sym_eigen_smallest(cov6)
-    ok = (
-        (nf32 >= NdtMap.MIN_POINTS_FOR_PLANE)
-        & (e_min >= -1e-6)
-        & (e_min <= m.max_eigen_ratio * jnp.maximum(e_mid, 1e-12))
-    )
-    mean = _voxel_centers(m) + mean_rel
-    qdata = m.qdata.at[:, 4:7].set(mean)
-    qdata = qdata.at[:, 7:10].set(v)
-    qdata = qdata.at[:, 10].set(ok.astype(jnp.float32))
-    return m._replace(qdata=qdata)
-
-
 def insert(m: NdtMap, pc: PointCloud) -> NdtMap:
     """Accumulate the valid points of ``pc`` (global frame) into the Gaussians."""
     return insert_stats(m, pc)[0]
 
 
 def insert_stats(m: NdtMap, pc: PointCloud):
-    """Insert + capacity counters (NDT has no per-voxel point cap: moments
-    accumulate unbounded, so only slot-collision drops can occur)."""
+    """Sort-fused insert: ONE (bucket, pkey, idx) sort groups each voxel's
+    points; per-bucket way claims and per-subrun moment totals come from
+    segmented scans; the table update is ONE scatter-set of 18 words per
+    point (pkey, state, s, ss, mean, normal, plane_ok — all
+    identical-per-subrun POST-INSERT values, so duplicate scatter ordering
+    cannot change the result and re-claimed ways start from exact zeros)."""
     from mola_lidar_odometry_tpu.ops import batched_mem as BM
 
-    V = m.num_slots
-    Q = m.qdata.shape[1]
-    coords = voxel_coords(pc.xyz, m.voxel_size)
-    slot = voxel_hash(coords, V)
-    g4 = BM.gather_rows(m.qdata[:, :4], slot)  # ONE gather of [key3|n]/pt
-    same_key = jnp.all(g4[:, :3] == coords.astype(jnp.float32), axis=-1)
-    accept, claim_ok = claim_slots(same_key, g4[:, 3] > 0, coords, slot, pc.valid, V)
+    NB = m.num_buckets
+    n = pc.capacity
 
-    w = accept.astype(jnp.float32)
-    rel = pc.xyz - (coords.astype(jnp.float32) + 0.5) * m.voxel_size
-    x, y, z = rel[:, 0], rel[:, 1], rel[:, 2]
-    mom = jnp.stack([x * x, y * y, z * z, x * y, x * z, y * z], axis=-1)
+    coords = voxel_coords(pc.xyz, m.voxel_size)  # (n, 3)
+    bucket = voxel_hash(coords, NB)
+    pkey = pack_key(coords)
 
-    a3 = jnp.arange(3, dtype=jnp.int32)
-    qflat = BM.scatter_add(m.qdata.reshape(-1), slot * Q + 3, w)
-    key_base = jnp.where(claim_ok, slot * Q, V * Q)
-    qflat = BM.scatter_set(
-        qflat, key_base[:, None] + a3[None], coords.astype(jnp.float32)
+    sort_key = jnp.where(pc.valid, bucket, jnp.int32(NB))
+    pos = jnp.arange(n, dtype=jnp.int32)
+    sb, spk, sidx = jax.lax.sort([sort_key, pkey, pos], num_keys=3)
+    s_valid = sb < NB
+    s_bucket = jnp.where(s_valid, sb, 0)
+
+    g = BM.gather_rows(m.data, s_bucket)  # (n, 128) — the full bucket
+    widx = jnp.arange(_WAYS, dtype=jnp.int32)
+    pk_w = jnp.stack([g[:, w * _STRIDE] for w in range(_WAYS)], axis=-1)
+    st_w = jnp.stack([g[:, w * _STRIDE + 1] for w in range(_WAYS)], axis=-1)
+    fresh_w = ((st_w >> 16) & 0xFFFF) == m._epoch16
+    match_w = fresh_w & (pk_w == spk[:, None]) & s_valid[:, None]
+    any_match = jnp.any(match_w, axis=-1)
+    exist_way = jnp.min(jnp.where(match_w, widx[None], _WAYS), axis=-1)
+    exist_way = jnp.where(any_match, exist_way, 0)
+    n_exist = jnp.sum(jnp.where(match_w, st_w & 0xFFFF, 0), axis=-1)
+
+    # segment structure + way claims (identical machinery to voxel_hash)
+    b_chg = sb[1:] != sb[:-1]
+    v_chg = b_chg | (spk[1:] != spk[:-1])
+    one = jnp.ones((1,), bool)
+    is_bucket_head = jnp.concatenate([one, b_chg])
+    is_voxel_head = jnp.concatenate([one, v_chg])
+    is_voxel_tail = jnp.concatenate([v_chg, one])
+
+    def seg_sum(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, va + vb), fa | fb
+
+    claim_head = (is_voxel_head & s_valid & ~any_match).astype(jnp.int32)
+    r_incl, _ = jax.lax.associative_scan(seg_sum, (claim_head, is_bucket_head))
+    r = r_incl - 1
+    free_w = ~fresh_w
+    free_before = jnp.cumsum(free_w.astype(jnp.int32), axis=-1) - free_w
+    free_cnt = jnp.sum(free_w, axis=-1)
+    claim_ok = s_valid & ~any_match & (r >= 0) & (r < free_cnt)
+    claim_way = jnp.sum(
+        jnp.where(free_w & (free_before == r[:, None]), widx[None], 0), axis=-1
     )
-    qdata = qflat.reshape(V, Q)
-    new_s = BM.scatter_add(
-        m.s.reshape(-1), (slot * 3)[:, None] + a3[None], rel * w[:, None]
-    ).reshape(V, 3)
-    new_ss = BM.scatter_add(
-        m.ss.reshape(-1),
-        (slot * 6)[:, None] + jnp.arange(6, dtype=jnp.int32)[None],
-        mom * w[:, None],
-    ).reshape(V, 6)
-    from mola_lidar_odometry_tpu.ops.voxel_hash import InsertStats
+    accept = any_match | claim_ok
+    way = jnp.where(any_match, exist_way, claim_way)
+
+    # existing moments of MY way (zeros for claims): 9 lane reads via
+    # take_along_axis over the row already in registers
+    base = way[:, None] * _STRIDE
+    mom_cols = base + jnp.arange(2, 11, dtype=jnp.int32)[None]  # s3 | ss6
+    old_mom = jax.lax.bitcast_convert_type(
+        jnp.take_along_axis(g, mom_cols, axis=1), jnp.float32
+    )
+    old_mom = jnp.where(any_match[:, None], old_mom, 0.0)
+
+    # per-subrun POST-INSERT totals (identical for every subrun member)
+    s_xyz = BM.gather_rows(pc.xyz, sidx)
+    ctr = (coords.astype(jnp.float32) + 0.5) * m.voxel_size
+    s_ctr = BM.gather_rows(ctr, sidx)
+    rel = jnp.where(accept[:, None], s_xyz - s_ctr, 0.0)
+    x, y, z = rel[:, 0], rel[:, 1], rel[:, 2]
+    mom9 = jnp.concatenate(
+        [rel, jnp.stack([x * x, y * y, z * z, x * y, x * z, y * z], -1)], axis=-1
+    )  # (n, 9)
+
+    def seg_sum2d(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, va + vb), fa | fb
+
+    a32 = accept.astype(jnp.int32)
+    self_row = jnp.concatenate([mom9, a32[:, None].astype(jnp.float32)], -1)
+    incl, _ = jax.lax.associative_scan(
+        seg_sum2d, (self_row, is_voxel_head[:, None])
+    )
+    rincl, _ = jax.lax.associative_scan(
+        seg_sum2d, (self_row, is_voxel_tail[:, None]), reverse=True
+    )
+    tot = incl + rincl - self_row  # (n, 10): subrun moment sums + count
+    new_mom = old_mom + tot[:, :9]
+    n_new = jnp.minimum(
+        n_exist + tot[:, 9].astype(jnp.int32), _MAX_N
+    )
+
+    # plane recompute for the touched voxel (vectorized over points; every
+    # subrun member computes the identical value)
+    nf = jnp.maximum(n_new.astype(jnp.float32), 1.0)[:, None]
+    mean_rel = new_mom[:, :3] / nf
+    mx, my, mz = mean_rel[:, 0], mean_rel[:, 1], mean_rel[:, 2]
+    cov6 = new_mom[:, 3:9] / nf - jnp.stack(
+        [mx * mx, my * my, mz * mz, mx * my, mx * mz, my * mz], axis=-1
+    )
+    nrm, e_min, e_mid = _sym_eigen_smallest(cov6)
+    ok = (
+        (n_new >= NdtMap.MIN_POINTS_FOR_PLANE)
+        & (e_min >= -1e-6)
+        & (e_min <= m.max_eigen_ratio * jnp.maximum(e_mid, 1e-12))
+    )
+    mean_g = s_ctr + mean_rel
+    state_fin = (m._epoch16 << 16) | n_new
+
+    # ONE scatter-set: 18 words per point
+    vals_f32 = jnp.concatenate([new_mom, mean_g, nrm], axis=-1)  # (n, 15)
+    vals = jnp.concatenate(
+        [
+            spk[:, None],
+            state_fin[:, None],
+            jax.lax.bitcast_convert_type(vals_f32, jnp.int32),
+            ok.astype(jnp.int32)[:, None],
+        ],
+        axis=-1,
+    )  # (n, 18)
+    oob = jnp.int32(m.data.shape[-2] * 128)
+    p_base = (s_bucket * _WAYS + way) * _STRIDE
+    lane = jnp.arange(18, dtype=jnp.int32)
+    idx = jnp.where(accept[:, None], p_base[:, None] + lane[None], oob)
+    data = BM.scatter_set(m.data.reshape(-1), idx, vals).reshape(m.data.shape)
 
     stats = InsertStats(
-        collision_drops=jnp.sum(pc.valid & ~accept).astype(jnp.int32),
-        full_drops=jnp.int32(0),
+        collision_drops=jnp.sum(s_valid & ~accept).astype(jnp.int32),
+        full_drops=jnp.int32(0),  # moments accumulate unbounded (n capped)
     )
-    return _refresh_planes(m._replace(qdata=qdata, s=new_s, ss=new_ss)), stats
+    return m._replace(data=data), stats
 
 
 def prune_farther_than(m: NdtMap, center: jax.Array, distance) -> NdtMap:
-    """Drop voxels with L1 distance beyond ``distance`` (<=0 disables).
+    """Drop voxels with L1 distance beyond ``distance`` (<=0 disables) by
+    zeroing their state lanes (one element scatter; dead epoch ⇒ the moment
+    lanes read as zero and claims overwrite them with fresh totals)."""
+    from mola_lidar_odometry_tpu.ops import batched_mem as BM
 
-    Moments are zeroed with the count: a pruned slot may be re-claimed by a
-    different voxel later and must not inherit stale Gaussians.
-    """
-    centers = _voxel_centers(m)
+    w = m._windows  # (V, 32)
+    pkey, state = w[:, 0], w[:, 1]
+    live = ((state >> 16) & 0xFFFF) == m._epoch16
+    cvox = voxel_coords(center[None], m.voxel_size)[0]
+    kvox = unpack_key_near(pkey, cvox)
+    centers = (kvox.astype(jnp.float32) + 0.5) * m.voxel_size
     l1 = jnp.max(jnp.abs(centers - center), axis=-1)
-    keep = ((l1 <= distance) | (distance <= 0)).astype(jnp.float32)
-    qdata = m.qdata.at[:, 3].mul(keep)
-    qdata = qdata.at[:, 10].mul(keep)
-    return m._replace(
-        qdata=qdata, s=m.s * keep[:, None], ss=m.ss * keep[:, None]
-    )
+    kill = live & (l1 > distance) & (distance > 0)
+    sl = jnp.arange(w.shape[0], dtype=jnp.int32)
+    oob = jnp.int32(m.data.shape[-2] * 128)
+    idx = jnp.where(kill, sl * _STRIDE + 1, oob)
+    data = BM.scatter_set(
+        m.data.reshape(-1), idx, jnp.zeros_like(idx)
+    ).reshape(m.data.shape)
+    return m._replace(data=data)
 
 
 class NdtCandSet(NamedTuple):
@@ -259,13 +381,27 @@ def capture(m: NdtMap, queries: jax.Array, neighbors: int = 27) -> NdtCandSet:
 
     base = voxel_coords(queries, m.voxel_size)
     cand = neighbor_coords(queries, base, m.voxel_size, neighbors)  # (N,P,3)
-    slots = voxel_hash(cand, m.num_slots)
-    g = BM.gather_rows(m.qdata, slots.reshape(-1)).reshape(
-        cand.shape[0], cand.shape[1], 12
+    P = cand.shape[1]
+    nq = cand.shape[0]
+    buckets = voxel_hash(cand, m.num_buckets)
+    gb = BM.gather_rows(m.data, buckets.reshape(-1)).reshape(nq, P, 128)
+    target = pack_key(cand)
+
+    # key-matched way select over the row already in registers
+    g = gb[..., 0:_STRIDE]
+    match = (gb[..., 0] == target) & (
+        ((gb[..., 1] >> 16) & 0xFFFF) == m._epoch16
     )
-    key_ok = jnp.all(g[..., :3] == cand.astype(jnp.float32), axis=-1)
-    live = key_ok & (g[..., 3] > 0)
-    return NdtCandSet(g[..., 4:7], g[..., 7:10], live, live & (g[..., 10] > 0))
+    for w in range(1, _WAYS):
+        mw = (gb[..., w * _STRIDE] == target) & (
+            ((gb[..., w * _STRIDE + 1] >> 16) & 0xFFFF) == m._epoch16
+        )
+        g = jnp.where(mw[..., None], gb[..., w * _STRIDE : (w + 1) * _STRIDE], g)
+        match = match | mw
+    live = match & ((g[..., 1] & 0xFFFF) > 0)
+    mu = jax.lax.bitcast_convert_type(g[..., 11:14], jnp.float32)
+    nrm = jax.lax.bitcast_convert_type(g[..., 14:17], jnp.float32)
+    return NdtCandSet(mu, nrm, live, live & (g[..., 17] > 0))
 
 
 def p2p_from(
