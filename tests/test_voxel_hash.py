@@ -140,3 +140,90 @@ class TestMinDistanceBetweenPoints:
         pts = np.array([[0.50, 0.50, 0.50], [0.52, 0.50, 0.50]], np.float32)
         m = vh.insert(m, PointCloud.from_xyz(jnp.asarray(pts)))
         assert int(m.num_points()) == 2
+
+
+class TestInsertDifferentialFuzz:
+    """Randomized differential test of the sort-fused bucketized insert
+    against a Python dict model implementing the same contract:
+
+      * voxels hash to a W-way bucket; an incoming voxel matches its live
+        way or claims a stale way, claims assigned in pkey order;
+      * per-voxel cap K, first-come point order within a frame;
+      * collision drops only when every way of the bucket is owned by
+        other voxels.
+    """
+
+    def _model_insert(self, model, coords, pts, valid, NB, W, K):
+        from mola_lidar_odometry_tpu.ops.filters import voxel_hash as vhash
+        import jax.numpy as jnp
+
+        buckets = np.asarray(vhash(jnp.asarray(coords), NB))
+        drops = 0
+        # group points per voxel in first-come order
+        order = {}
+        for i in range(len(pts)):
+            if not valid[i]:
+                continue
+            key = tuple(coords[i])
+            order.setdefault(key, []).append(i)
+        # claims resolved in pkey order within each bucket (sorted domain)
+        from mola_lidar_odometry_tpu.ops.voxel_hash import pack_key
+
+        pkeys = np.asarray(pack_key(jnp.asarray(coords)))
+        by_bucket = {}
+        for key, idxs in order.items():
+            b = int(buckets[idxs[0]])
+            by_bucket.setdefault(b, []).append((int(pkeys[idxs[0]]), key, idxs))
+        for b, entries in by_bucket.items():
+            entries.sort()
+            bucket_model = model.setdefault(b, {})  # way -> (key, [points])
+            for pk, key, idxs in entries:
+                owner_way = next(
+                    (w for w, (k, _) in bucket_model.items() if k == key), None
+                )
+                if owner_way is None:
+                    free = [w for w in range(W) if w not in bucket_model]
+                    if not free:
+                        drops += len(idxs)
+                        continue
+                    bucket_model[free[0]] = (key, [])
+                    owner_way = free[0]
+                stored = bucket_model[owner_way][1]
+                for i in idxs:
+                    if len(stored) < K:
+                        stored.append(tuple(np.round(pts[i], 5)))
+                    # beyond K: full drop (not counted here)
+        return drops
+
+    def test_matches_dict_model(self):
+        rng = np.random.default_rng(42)
+        V, K = 256, 4
+        m = vh.VoxelHashMap.create(V, K, 1.0)
+        NB, W = m.num_buckets, m.ways
+        model = {}
+        total_drops = 0
+        for frame in range(4):
+            n = 300
+            pts = rng.uniform(-8, 8, (n, 3)).astype(np.float32)
+            valid = rng.uniform(size=n) > 0.1
+            coords = np.floor(pts).astype(np.int32)
+            m, st = vh.insert_stats(m, PointCloud.from_xyz(jnp.asarray(pts), valid=jnp.asarray(valid)))
+            total_drops += self._model_insert(model, coords, pts, valid, NB, W, K)
+            assert int(st.collision_drops) <= n  # sanity
+        # compare stored content voxel-by-voxel
+        stored_pts = set()
+        for b, ways in model.items():
+            for w, (key, plist) in ways.items():
+                for p in plist:
+                    stored_pts.add(p)
+        live = np.asarray(m.count) > 0
+        pts_dev = np.asarray(m.pts)
+        cnt_dev = np.asarray(m.count)
+        dev_pts = set()
+        for s in np.nonzero(live)[0]:
+            for j in range(int(cnt_dev[s])):
+                dev_pts.add(tuple(np.round(pts_dev[s, j], 5)))
+        assert dev_pts == stored_pts, (
+            f"device/model mismatch: {len(dev_pts ^ stored_pts)} points differ "
+            f"(device {len(dev_pts)}, model {len(stored_pts)})"
+        )
