@@ -215,3 +215,33 @@ class TestQueryNn2:
         np.testing.assert_allclose(np.asarray(nn2[0, 0]), [0.1, 0.1, 0.1], atol=1e-6)
         np.testing.assert_allclose(np.asarray(nn2[0, 1]), [0.4, 0.1, 0.1], atol=1e-6)
         assert float(d2[0, 0]) <= float(d2[0, 1])
+
+
+class TestNdtDifferential:
+    def test_moments_match_dict_model(self):
+        """Multi-frame NDT inserts vs exact per-voxel numpy moments."""
+        rng = np.random.default_rng(7)
+        m = NdtMap.create(1 << 10, 1.0, max_eigen_ratio=0.05)
+        model = {}  # voxel key -> list of points
+        for frame in range(3):
+            pts = rng.uniform(-6, 6, (400, 3)).astype(np.float32)
+            m = ndt.insert(m, PointCloud.from_xyz(jnp.asarray(pts)))
+            for p in pts:
+                model.setdefault(tuple(np.floor(p).astype(int)), []).append(p)
+        n_dev = np.asarray(m.n)
+        keys_dev = np.asarray(m.keys)
+        means_dev = np.asarray(m.means())
+        live = n_dev > 0
+        # collision drops possible (tiny table): device voxel set must be a
+        # subset of the model with EXACT counts and means where present
+        checked = 0
+        for s in np.nonzero(live)[0]:
+            key = tuple(keys_dev[s])
+            assert key in model, key
+            pts = np.asarray(model[key], np.float64)
+            assert int(n_dev[s]) == len(pts)
+            np.testing.assert_allclose(
+                means_dev[s], pts.mean(axis=0), atol=2e-3
+            )
+            checked += 1
+        assert checked > 50
