@@ -352,6 +352,36 @@ def spec_from_yaml(cfg: dict, **overrides) -> OdometrySpec:
     if not map_inserts:
         map_inserts = [MapInsertOp("decimated_for_map", map_layers[0].name)]
 
+    # Resolve the per-layer insert budget (voxel_hash.insert_stats): the
+    # scatter's static size is the entire insert cost, while steady-state
+    # frames store only a fraction of the source layer's capacity.  Auto =
+    # n//4 (floor 4096) for large point-map inserts; first frames overflow
+    # the budget but the dropped points are re-presented by the overlapping
+    # next scans (deferred_drops counts them).  MOLA_TPU_INSERT_BUDGET:
+    # "auto" (default) | "0" (off) | explicit point count.
+    import dataclasses as _dc
+
+    bud_env = os.environ.get("MOLA_TPU_INSERT_BUDGET", "auto").strip().lower()
+    if bud_env != "0":
+        by_target = {}
+        for op in map_inserts:
+            n_in = int(layer_capacities.get(op.input_layer, raw_capacity))
+            by_target[op.target_map_layer] = max(by_target.get(op.target_map_layer, 0), n_in)
+        new_layers = []
+        for d in map_layers:
+            n_in = by_target.get(d.name, 0)
+            if bud_env == "auto":
+                bud = max(4096, n_in // 4) if n_in > 8192 else 0
+            else:
+                bud = int(bud_env)
+            if bud and d.map_class in (
+                "HashedVoxelPointCloud", "SparseTreesPointCloud", "CPointsMap",
+                "CSimplePointsMap", "CPointsMapXYZI", "CPointsMapXYZIRT",
+            ):
+                d = _dc.replace(d, insert_budget=min(bud, n_in) if n_in else bud)
+            new_layers.append(d)
+        map_layers = tuple(new_layers)
+
     labels = params.get("lidar_sensor_labels", ["lidar"])
     if isinstance(labels, str):
         labels = [labels]

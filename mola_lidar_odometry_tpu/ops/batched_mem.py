@@ -79,6 +79,39 @@ def _scatter_set_vmap(axis_size, in_batched, flat, idx, vals):
     return out.reshape(B, L), True
 
 
+# -- flat scatter-set, caller-promised unique indices ------------------------
+#
+# XLA lowers a TPU scatter with potentially-duplicate indices through a
+# sort + segmented-combine phase (measured: +0.5 ms sort + a second fusion
+# on the map-insert scatter).  When the caller guarantees every non-dropped
+# index is distinct, `unique_indices=True` skips that machinery.  Dropped
+# (out-of-range) entries may still repeat: they never land, so the promise
+# only covers indices that actually write.
+
+
+@custom_vmap
+def scatter_set_unique(flat: jax.Array, idx: jax.Array, vals: jax.Array) -> jax.Array:
+    """``flat.at[idx].set(vals, mode='drop', unique_indices=True)``."""
+    return flat.at[idx].set(vals, mode="drop", unique_indices=True)
+
+
+@scatter_set_unique.def_vmap
+def _scatter_set_unique_vmap(axis_size, in_batched, flat, idx, vals):
+    f_b, i_b, v_b = in_batched
+    flat = _bcast(flat, axis_size, f_b)
+    idx = _bcast(idx, axis_size, i_b)
+    vals = _bcast(vals, axis_size, v_b)
+    B, L = flat.shape
+    off = jnp.arange(B, dtype=idx.dtype).reshape((B,) + (1,) * (idx.ndim - 1)) * L
+    gidx = jnp.where(idx < L, idx + off, B * L)
+    out = (
+        flat.reshape(-1)
+        .at[gidx.reshape(-1)]
+        .set(vals.reshape(-1), mode="drop", unique_indices=True)
+    )
+    return out.reshape(B, L), True
+
+
 # -- flat scatter-add ---------------------------------------------------------
 
 

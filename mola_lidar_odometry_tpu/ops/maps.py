@@ -45,6 +45,11 @@ class MapLayerDef:
     # HashedVoxelPointCloud / SparseTreesPointCloud
     points_per_voxel: int = 20
     min_distance_between_points: float = 0.0
+    # Static per-frame budget for the insert scatter (0 = unbounded).
+    # Resolved by spec_from_yaml from the input layer's capacity: scatter
+    # cost is per STATIC element, while steady-state frames store only a
+    # fraction of the layer (see voxel_hash.insert_stats).
+    insert_budget: int = 0
     # NDT
     max_eigen_ratio_for_planes: float = 0.05
     # CVoxelMap (occupancy)
@@ -124,7 +129,8 @@ def insert_stats(state, pc: PointCloud, sensor_origin=None, layer_def: "MapLayer
     map types without point-slot semantics)."""
     if isinstance(state, voxel_hash.VoxelHashMap):
         md = layer_def.min_distance_between_points if layer_def else 0.0
-        return voxel_hash.insert_stats(state, pc, min_distance=md)
+        bud = layer_def.insert_budget if layer_def else 0
+        return voxel_hash.insert_stats(state, pc, min_distance=md, budget=bud)
     if isinstance(state, ndt.NdtMap):
         return ndt.insert_stats(state, pc)
     if isinstance(state, occupancy.OccupancyMap):

@@ -330,15 +330,18 @@ class InsertStats(NamedTuple):
 
     collision_drops: jax.Array  # () i32
     full_drops: jax.Array  # () i32
+    deferred_drops: Any = 0  # i32 — storable points past the insert budget
+    # (transient, not lost: overlapping scans re-present them next frame)
 
     @staticmethod
     def zero() -> "InsertStats":
-        return InsertStats(jnp.int32(0), jnp.int32(0))
+        return InsertStats(jnp.int32(0), jnp.int32(0), jnp.int32(0))
 
     def __add__(self, other: "InsertStats") -> "InsertStats":
         return InsertStats(
             self.collision_drops + other.collision_drops,
             self.full_drops + other.full_drops,
+            self.deferred_drops + other.deferred_drops,
         )
 
 
@@ -348,7 +351,7 @@ def insert(m: VoxelHashMap, pc: PointCloud, min_distance: float = 0.0) -> VoxelH
 
 
 def insert_stats(
-    m: VoxelHashMap, pc: PointCloud, min_distance: float = 0.0
+    m: VoxelHashMap, pc: PointCloud, min_distance: float = 0.0, budget: int = 0
 ) -> Tuple[VoxelHashMap, InsertStats]:
     """Insert + capacity-pressure counters (see :class:`InsertStats`).
 
@@ -461,14 +464,58 @@ def insert_stats(
     a32 = accept.astype(jnp.int32)
     incl, _ = jax.lax.associative_scan(seg_sum, (a32, is_voxel_head))
     rank = incl - a32
-    rincl, _ = jax.lax.associative_scan(seg_sum, (a32, is_voxel_tail), reverse=True)
-    n_total = incl + rincl - a32  # accepted points in my whole subrun
 
     dest = cnt_at + rank
     store = accept & (dest < K)
 
-    cnt_fin = jnp.minimum(cnt_at + n_total, K)
+    # Insert budget (round 3): scatter cost is ~6 ns per STATIC element, so
+    # masked no-op writes are as expensive as live ones — yet steady-state
+    # frames STORE only a fraction of the layer capacity (everything else
+    # lands in voxels already at K).  With 0 < budget < n, keep only the
+    # first ``budget`` storable points (stream order) and compact them to a
+    # budget-sized prefix, shrinking the scatter's static size ~n/budget x.
+    # Overflow is *deferred*, not lost: the kept set per subrun is a prefix
+    # (the global stored-order cumsum is monotone along the stream), counts
+    # stay exact, and overlapping next-frame scans re-present the dropped
+    # points while their voxels still have room (counted in
+    # ``deferred_drops``; utils/capacity.py sizes the budget).
+    C = int(budget)
+    compact = 0 < C < n
+    if compact:
+        # Priority = voxel fill depth: points landing at dest=0 (first
+        # point of a new voxel) are kept before any dest=1 point, etc.
+        # A bring-up frame thus stores one point into EVERY new voxel
+        # before densifying any — full spatial coverage for ICP from the
+        # first frame; only depth (K-fill) is deferred.  Rank of a point
+        # under (dest, stream-pos) order = all storable points at
+        # shallower dest + storables at my dest earlier in the stream;
+        # within a subrun dest increases with position, so kept sets
+        # remain subrun prefixes and the exact-count logic holds.
+        kk = jnp.arange(K, dtype=jnp.int32)
+        at_k = store[None, :] & (dest[None, :] == kk[:, None])  # (K, n)
+        within = jnp.cumsum(at_k.astype(jnp.int32), axis=1)  # incl. prefix
+        per_level = within[:, -1]
+        below = jnp.cumsum(per_level) - per_level  # storables at dest < k
+        prio_rank = (below[:, None] + within - 1).astype(jnp.int32)  # (K, n)
+        my_rank = jnp.sum(jnp.where(at_k, prio_rank, 0), axis=0)
+        keep = store & (my_rank < C)
+    else:
+        keep = store
+
+    # per-subrun KEPT count (for the exact final state count)
+    k32 = keep.astype(jnp.int32)
+    kincl, _ = jax.lax.associative_scan(seg_sum, (k32, is_voxel_head))
+    krincl, _ = jax.lax.associative_scan(seg_sum, (k32, is_voxel_tail), reverse=True)
+    n_kept = kincl + krincl - k32
+
+    cnt_fin = jnp.minimum(cnt_at + n_kept, K)
     state_fin = (m._epoch16 << 16) | cnt_fin
+    # pkey/state are written ONCE per (voxel, way) subrun — by the first
+    # kept point (rank 0 is always kept when anything is: kept sets are
+    # stored-prefixes).  All landing indices are therefore DISTINCT, which
+    # lets the scatter promise unique_indices and skip XLA's sort-based
+    # duplicate-combine lowering (~0.5 ms at bench shapes).
+    head = keep & (rank == 0)
 
     oob = jnp.int32(m.data.shape[-2] * 128)
     p_base = (s_bucket * W + way) * s
@@ -477,11 +524,11 @@ def insert_stats(
     # for 128-lane rows — no materializing layout round-trip)
     idx = jnp.stack(
         [
-            jnp.where(store, p_base + 2 + dest, oob),  # x
-            jnp.where(store, p_base + 2 + K + dest, oob),  # y
-            jnp.where(store, p_base + 2 + 2 * K + dest, oob),  # z
-            jnp.where(store, p_base + 0, oob),  # pkey (same value per subrun)
-            jnp.where(store, p_base + 1, oob),  # state (same value per subrun)
+            jnp.where(keep, p_base + 2 + dest, oob),  # x
+            jnp.where(keep, p_base + 2 + K + dest, oob),  # y
+            jnp.where(keep, p_base + 2 + 2 * K + dest, oob),  # z
+            jnp.where(head, p_base + 0, oob),  # pkey (head of subrun only)
+            jnp.where(head, p_base + 1, oob),  # state (head of subrun only)
         ],
         axis=-1,
     )  # (n, 5)
@@ -489,13 +536,23 @@ def insert_stats(
         [xyz_bits[:, 0], xyz_bits[:, 1], xyz_bits[:, 2], spk, state_fin],
         axis=-1,
     )
-    data = BM.scatter_set(m.data.reshape(-1), idx, vals).reshape(m.data.shape)
+    if compact:
+        # ONE tiny stable sort moves kept rows to the front (cheap at layer
+        # sizes: ~0.15 ms at 8x13312), then the scatter touches only the
+        # C-prefix — 5*C static elements instead of 5*n.
+        pos2 = jnp.arange(n, dtype=jnp.int32)
+        _, perm = jax.lax.sort([(~keep).astype(jnp.int32), pos2], num_keys=2)
+        sel = perm[:C]
+        idx = BM.gather_rows(idx, sel)
+        vals = BM.gather_rows(vals, sel)
+    data = BM.scatter_set_unique(m.data.reshape(-1), idx, vals).reshape(m.data.shape)
 
     stats = InsertStats(
         # dedup rejections (min_distance) are intended behavior, not
         # capacity pressure — excluded from the collision counter
         collision_drops=jnp.sum(s_valid & ~accept & ~too_close).astype(jnp.int32),
         full_drops=jnp.sum(accept & (dest >= K)).astype(jnp.int32),
+        deferred_drops=jnp.sum(store & ~keep).astype(jnp.int32),
     )
     return m._replace(data=data), stats
 
@@ -503,21 +560,23 @@ def insert_stats(
 def _prune_state_scatter(
     m: VoxelHashMap, center: jax.Array, distance, row_start, n_rows: int
 ) -> VoxelHashMap:
-    """Kill far slots in rows [row_start, row_start+n_rows) via ONE tiny
-    element scatter of their state lanes (no whole-table update op)."""
-    from mola_lidar_odometry_tpu.ops import batched_mem as BM
+    """Kill far slots in rows [row_start, row_start+n_rows): read the
+    contiguous slab, zero dead slots' state lanes with a vector select,
+    write it back with ONE dynamic_update_slice.
 
+    An element scatter here measured 1.4 ms at B=8 for only 16k elements
+    (round-3 device profile): sub-~100k-element scatters lower to a
+    serial per-element path (~85 ns/el), while the contiguous slab DUS is
+    pure bandwidth (~2x slab bytes, ~0.05 ms for the 64-slab default)."""
     stride = m.stride
     spr = max(128 // stride, 1)
     rows = jax.lax.dynamic_slice_in_dim(m.data, row_start, n_rows, -2)
     # slots covered by these rows
     if stride <= 128:
         w = rows.reshape(n_rows * spr, stride)
-        slot0 = row_start * spr
     else:
         rpp = stride // 128
         w = rows.reshape(n_rows // rpp, stride)
-        slot0 = row_start // rpp
     pkey, state = w[:, 0], w[:, 1]
     live = ((state >> 16) & 0xFFFF) == m._epoch16
     cvox = voxel_coords(center[None], m.voxel_size)[0]  # (3,) i32
@@ -525,11 +584,11 @@ def _prune_state_scatter(
     centers = (kvox.astype(jnp.float32) + 0.5) * m.voxel_size
     l1 = jnp.max(jnp.abs(centers - center), axis=-1)
     kill = live & (l1 > distance) & (distance > 0)
-    sl = slot0 + jnp.arange(w.shape[0], dtype=jnp.int32)
-    oob = jnp.int32(m.data.shape[-2] * 128)
-    idx = jnp.where(kill, sl * stride + 1, oob)
-    vals = jnp.zeros_like(idx)
-    data = BM.scatter_set(m.data.reshape(-1), idx, vals).reshape(m.data.shape)
+    lane = jnp.arange(w.shape[-1], dtype=jnp.int32)
+    neww = jnp.where(kill[:, None] & (lane[None, :] == 1), 0, w)
+    data = jax.lax.dynamic_update_slice_in_dim(
+        m.data, neww.reshape(rows.shape), row_start, -2
+    )
     return m._replace(data=data)
 
 
@@ -543,13 +602,14 @@ def prune_farther_than(m: VoxelHashMap, center: jax.Array, distance) -> VoxelHas
 
 
 def prune_farther_than_slab(
-    m: VoxelHashMap, center: jax.Array, distance, slab: jax.Array, n_slabs: int = 16
+    m: VoxelHashMap, center: jax.Array, distance, slab: jax.Array, n_slabs: int = 64
 ) -> VoxelHashMap:
     """Rolling-slab eviction: prune 1/``n_slabs`` of the table per call.
 
     Each call checks one contiguous row slab and zeroes far slots' state
     lanes with one ~(V/n_slabs)-element scatter — every voxel is still
-    checked each ``n_slabs`` frames, tighter than the reference's own
+    checked each ``n_slabs`` frames (64-frame sweep = 6.4 s at 10 Hz),
+    still tighter than the reference's own
     eviction cadence (``check_for_removal_every_n: 100``,
     pipelines/lidar3d-default.yaml), so the amortization is a
     parity-preserving deviation (docs/parity.md).  Round-2's

@@ -227,3 +227,79 @@ class TestInsertDifferentialFuzz:
             f"device/model mismatch: {len(dev_pts ^ stored_pts)} points differ "
             f"(device {len(dev_pts)}, model {len(stored_pts)})"
         )
+
+
+class TestInsertBudget:
+    """The compacted (budget-bounded) insert defers overflow, never corrupts.
+
+    Contract (voxel_hash.insert_stats ``budget``): at most ``budget``
+    points stored per call, kept sets are stored-order prefixes of the
+    (bucket, pkey, arrival) stream, and re-presenting the same cloud
+    (with min_distance dedup, as any re-observation scenario) converges
+    to the unbudgeted result — deferral, not loss.
+    """
+
+    def _stored_set(self, m):
+        pc = vh.as_pointcloud(m, m.num_slots * m.K)
+        xyz = np.asarray(pc.xyz)[np.asarray(pc.valid)]
+        return {tuple(np.round(p, 5)) for p in xyz}
+
+    def test_single_call_exact_prefix(self):
+        # big table + deep K: no collisions, no per-voxel caps -> the kept
+        # set must be EXACTLY the first C valid points in sorted stream
+        # order (bucket, pkey, arrival)
+        from mola_lidar_odometry_tpu.ops.filters import voxel_hash as vhash, voxel_coords
+        rng = np.random.default_rng(3)
+        V, K, C = 1 << 12, 8, 100
+        pts = rng.uniform(-20, 20, (300, 3)).astype(np.float32)
+        m0 = vh.VoxelHashMap.create(V, K, 1.0)
+        coords = np.asarray(voxel_coords(jnp.asarray(pts), 1.0))
+        buckets = np.asarray(vhash(jnp.asarray(coords), m0.num_buckets))
+        pkeys = np.asarray(vh.pack_key(jnp.asarray(coords)))
+        order = np.lexsort((np.arange(len(pts)), pkeys, buckets))
+        # priority = (voxel fill depth, stream position): dest-0 points of
+        # every voxel are kept before any dest-1 point (spatial coverage
+        # first, densification deferred)
+        dest = np.zeros(len(pts), np.int64)
+        seen = {}
+        for spos, i in enumerate(order):
+            key = tuple(coords[i])
+            dest[i] = seen.get(key, 0)
+            seen[key] = dest[i] + 1
+        stream_pos = np.empty(len(pts), np.int64)
+        stream_pos[order] = np.arange(len(pts))
+        prio = np.lexsort((stream_pos, dest))
+        expect = {tuple(np.round(pts[i], 5)) for i in prio[:C]}
+        m, st = vh.insert_stats(m0, cloud(pts), budget=C)
+        assert int(st.deferred_drops) == 300 - C
+        assert self._stored_set(m) == expect
+
+    def test_defers_and_converges(self):
+        rng = np.random.default_rng(7)
+        V, K, C, MD = 512, 4, 64, 1e-3
+        pts = rng.uniform(-10, 10, (400, 3)).astype(np.float32)
+        pc = cloud(pts)
+
+        ref = vh.insert(vh.VoxelHashMap.create(V, K, 1.0), pc, min_distance=MD)
+        ref_set = self._stored_set(ref)
+
+        m = vh.VoxelHashMap.create(V, K, 1.0)
+        prev = 0
+        for it in range(20):
+            m, st = jax.jit(
+                lambda m_, p_: vh.insert_stats(m_, p_, min_distance=MD, budget=C)
+            )(m, pc)
+            now = int(m.num_points())
+            assert now - prev <= C, f"stored {now - prev} > budget {C}"
+            prev = now
+            if int(st.deferred_drops) == 0 and now == len(self._stored_set(m)):
+                break
+        assert self._stored_set(m) == ref_set
+
+    def test_budget_off_matches_reference_path(self):
+        rng = np.random.default_rng(8)
+        pts = rng.uniform(-6, 6, (200, 3)).astype(np.float32)
+        a = vh.insert(vh.VoxelHashMap.create(256, 3, 1.0), cloud(pts))
+        m, st = vh.insert_stats(vh.VoxelHashMap.create(256, 3, 1.0), cloud(pts), budget=0)
+        assert int(st.deferred_drops) == 0
+        assert self._stored_set(a) == self._stored_set(m)
