@@ -101,6 +101,10 @@ class BridgeROS2:
             self.odom_pub = self.node.create_publisher(Odometry, "/odometry", 10)
         period = float(cfg.get("period_publish_new_localization", 0.1))
         self.node.create_timer(period, self._publish_localization)
+        map_period = float(cfg.get("period_publish_new_map", 3.0))
+        if map_period > 0:
+            self.map_pub = self.node.create_publisher(PointCloud2, "/local_map", 1)
+            self.node.create_timer(map_period, self._publish_map)
 
     def _publish_localization(self):  # pragma: no cover - needs ROS
         from geometry_msgs.msg import TransformStamped
@@ -125,6 +129,33 @@ class BridgeROS2:
             (msg.pose.pose.orientation.x, msg.pose.pose.orientation.y,
              msg.pose.pose.orientation.z, msg.pose.pose.orientation.w) = e["quat_xyzw"]
             self.odom_pub.publish(msg)
+
+    def _publish_map(self):  # pragma: no cover - needs ROS
+        """Local metric map -> PointCloud2 on /local_map (reference
+        mola-cli-launchs/lidar_odometry_ros2.yaml period_publish_new_map)."""
+        import numpy as np
+        from sensor_msgs_py import point_cloud2
+        from std_msgs.msg import Header
+
+        from mola_lidar_odometry_tpu.ops import maps as maps_ops
+
+        lo = self.runtime.lo
+        if getattr(lo, "carry", None) is None or not lo.carry.maps:
+            return
+        pts = []
+        for m in lo.carry.maps.values():
+            pc = maps_ops.as_pointcloud(m, 200_000)
+            if pc is not None:
+                xyz = np.asarray(pc.xyz)[np.asarray(pc.valid)]
+                if len(xyz):
+                    pts.append(xyz)
+        if not pts:
+            return
+        xyz = np.concatenate(pts, axis=0).astype(np.float32)
+        header = Header()
+        header.stamp = self.node.get_clock().now().to_msg()
+        header.frame_id = self.odom_frame
+        self.map_pub.publish(point_cloud2.create_cloud_xyz32(header, xyz))
 
     def spin(self):  # pragma: no cover - needs ROS
         import rclpy

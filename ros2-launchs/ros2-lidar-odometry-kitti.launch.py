@@ -34,6 +34,13 @@ def generate_launch_description():
                     os.path.join(share, "launchs", "lidar_odometry_from_kitti.yaml")
                 ],
             ),
-            Node(package="rviz2", executable="rviz2", name="rviz2"),
+            Node(
+                package="rviz2",
+                executable="rviz2",
+                name="rviz2",
+                arguments=[
+                    "-d", os.path.join(share, "rviz2", "kitti-lidar-odometry.rviz")
+                ],
+            ),
         ]
     )

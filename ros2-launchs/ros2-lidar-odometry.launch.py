@@ -57,6 +57,7 @@ def generate_launch_description():
         package="rviz2",
         executable="rviz2",
         name="rviz2",
+        arguments=["-d", os.path.join(share, "rviz2", "lidar-odometry.rviz")],
     )
 
     return LaunchDescription([lidar_topic, gnss_topic, ignore_tf, *env, odometry, rviz])
