@@ -192,8 +192,8 @@ class LidarOdometry:
             cfg, overrides = self._auto_cfg
             derived = dict(
                 zip(
-                    ("raw_capacity", "map_slots", "layer_capacities"),
-                    derive_capacities(self.spec, first_xyz, first_times),
+                    ("raw_capacity", "map_slots", "layer_capacities", "insert_budgets"),
+                    derive_capacities(self.spec, first_xyz, first_times, with_budgets=True),
                 )
             )
             # explicit caller overrides always win over derived sizes

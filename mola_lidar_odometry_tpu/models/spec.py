@@ -354,13 +354,18 @@ def spec_from_yaml(cfg: dict, **overrides) -> OdometrySpec:
 
     # Resolve the per-layer insert budget (voxel_hash.insert_stats): the
     # scatter's static size is the entire insert cost, while steady-state
-    # frames store only a fraction of the source layer's capacity.  Auto =
-    # n//4 (floor 4096) for large point-map inserts; first frames overflow
-    # the budget but the dropped points are re-presented by the overlapping
-    # next scans (deferred_drops counts them).  MOLA_TPU_INSERT_BUDGET:
+    # frames store only a fraction of the source layer's capacity.  The
+    # budget MUST cover a bring-up frame's unique-voxel count (fill-priority
+    # stores one point per new voxel first): round-3's n//4 undershot it and
+    # thinned first-frame coverage, costing 0.091 -> 0.126 worst pose on the
+    # e2e world (round-4 fix).  Static auto = n//2 (floor 4096); when
+    # capacity auto-sizing runs, the MEASURED unique-voxel count replaces
+    # this via ``insert_budgets`` (utils/capacity.py).  Overflow is deferred,
+    # not lost (deferred_drops counts it).  MOLA_TPU_INSERT_BUDGET:
     # "auto" (default) | "0" (off) | explicit point count.
     import dataclasses as _dc
 
+    measured_budgets = dict(overrides.pop("insert_budgets", {}) or {})
     bud_env = os.environ.get("MOLA_TPU_INSERT_BUDGET", "auto").strip().lower()
     if bud_env != "0":
         by_target = {}
@@ -370,8 +375,10 @@ def spec_from_yaml(cfg: dict, **overrides) -> OdometrySpec:
         new_layers = []
         for d in map_layers:
             n_in = by_target.get(d.name, 0)
-            if bud_env == "auto":
-                bud = max(4096, n_in // 4) if n_in > 8192 else 0
+            if d.name in measured_budgets and bud_env == "auto":
+                bud = int(measured_budgets[d.name])
+            elif bud_env == "auto":
+                bud = max(4096, n_in // 2) if n_in > 8192 else 0
             else:
                 bud = int(bud_env)
             if bud and d.map_class in (

@@ -129,6 +129,7 @@ class StepOutput(NamedTuple):
     # inserts — nonzero collision counts mean map_slots is undersized.
     map_collision_drops: jax.Array  # i32
     map_full_drops: jax.Array  # i32
+    deferred_drops: jax.Array  # i32 — storable points past the insert budget
 
 
 def init_carry(spec: OdometrySpec) -> Carry:
@@ -537,6 +538,7 @@ def make_step(spec: OdometrySpec) -> Callable[[Carry, Scan], Tuple[Carry, StepOu
             corrections=corrections,
             map_collision_drops=ins_stats.collision_drops,
             map_full_drops=ins_stats.full_drops,
+            deferred_drops=ins_stats.deferred_drops,
         )
 
         new_carry = Carry(
@@ -589,6 +591,7 @@ def make_step(spec: OdometrySpec) -> Callable[[Carry, Scan], Tuple[Carry, StepOu
             n_map_layer=jnp.int32(0),
             corrections=jnp.int32(0),
             map_collision_drops=jnp.int32(0), map_full_drops=jnp.int32(0),
+            deferred_drops=jnp.int32(0),
         )
         out = jax.tree_util.tree_map(
             lambda a, b: jnp.where(~drop, a, b), out, drop_out

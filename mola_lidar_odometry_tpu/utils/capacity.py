@@ -53,10 +53,14 @@ MAP_SLOTS_MAX = 1 << 20
 
 
 def derive_capacities(
-    spec, xyz: np.ndarray, times: np.ndarray = None
-) -> Tuple[int, int, Dict[str, int]]:
+    spec, xyz: np.ndarray, times: np.ndarray = None, with_budgets: bool = False
+):
     """Dry-run the spec's filter graph on the first scan (exact host
-    arithmetic) and derive ``(raw_capacity, map_slots, layer_capacities)``.
+    arithmetic) and derive ``(raw_capacity, map_slots, layer_capacities)``
+    — plus, with ``with_budgets=True``, a 4th element: per-map-layer insert
+    budgets sized from the MEASURED unique-voxel count (the fill-priority
+    insert must cover every new voxel of a bring-up frame; see
+    models/spec.py budget resolution).
     """
     from mola_lidar_odometry_tpu import oracle as O
 
@@ -104,6 +108,7 @@ def derive_capacities(
     # resolution -> hash-table sizing
     defs = {d.name: d for d in spec.map_layers}
     vox_total = 0
+    vox_by_target: Dict[str, int] = {}
     for op in spec.map_inserts:
         src = layers.get(op.input_layer)
         d = defs.get(op.target_map_layer)
@@ -111,8 +116,20 @@ def derive_capacities(
             continue
         vs = float(np.asarray(d.voxel_size(env), np.float64))
         keys = np.floor(src.xyz / max(vs, 1e-6)).astype(np.int64)
-        vox_total += len(np.unique(keys, axis=0))
+        nv = len(np.unique(keys, axis=0))
+        vox_total += nv
+        vox_by_target[op.target_map_layer] = max(vox_by_target.get(op.target_map_layer, 0), nv)
     map_slots = int(
         min(max(_next_pow2(vox_total * MAP_SLOTS_FACTOR), MAP_SLOTS_MIN), MAP_SLOTS_MAX)
     )
-    return raw_capacity, map_slots, caps
+    if not with_budgets:
+        return raw_capacity, map_slots, caps
+    # budget = 1.5x measured unique voxels: covers bring-up coverage plus
+    # some depth fill; steady-state frames store far fewer, so this is the
+    # binding constraint (measured: budget below the unique-voxel count
+    # thins first-frame coverage and degrades every subsequent pose)
+    budgets = {
+        name: _round_up(int(math.ceil(nv * LAYER_MARGIN)), LAYER_QUANTUM)
+        for name, nv in vox_by_target.items()
+    }
+    return raw_capacity, map_slots, caps, budgets
