@@ -65,6 +65,36 @@ def gen_scans():
     return scans, traj.stamps.astype(np.float32)
 
 
+def resolve_sizing(cfg, scans):
+    """Capacity sizing for the bench spec: auto-derived from the first scan
+    via utils/capacity.py (the production auto_capacity path), or the
+    round-3 hand-measured constants under MOLA_BENCH_HANDSIZED=1.
+    Shared with eval/trace_step.py so profiles match the bench exactly."""
+    from mola_lidar_odometry_tpu.models.spec import spec_from_yaml
+    from mola_lidar_odometry_tpu.utils.capacity import derive_capacities
+
+    if os.environ.get("MOLA_BENCH_HANDSIZED", "0") == "1":
+        caps = {
+            "raw": RAW_CAP,
+            "decimated_for_map_raw": 13312,
+            "decimated_for_icp_skewed": 2560,
+            "decimated_for_icp": 2560,
+            "decimated_for_map": 13312,
+        }
+        log("sizing: hand-measured constants (MOLA_BENCH_HANDSIZED=1)")
+        return dict(raw_capacity=RAW_CAP, map_slots=1 << 17, layer_capacities=caps)
+    spec0 = spec_from_yaml(cfg)
+    raw_cap, map_slots, caps, budgets = derive_capacities(
+        spec0, scans[0][0][scans[0][3]], scans[0][1][scans[0][3]], with_budgets=True
+    )
+    log(f"sizing: auto (utils/capacity.py) raw={raw_cap} slots={map_slots} "
+        f"layers={caps} budgets={budgets}")
+    return dict(
+        raw_capacity=raw_cap, map_slots=map_slots, layer_capacities=caps,
+        insert_budgets=budgets,
+    )
+
+
 def main():
     # The bench measures the SHIPPED defaults: 8-probe capture became the
     # spec default in round 3 after the full oracle-parity suite (three
@@ -88,31 +118,15 @@ def main():
     log(f"device: {jax.devices()[0]}  batch={BATCH}  scans={N_SCANS}")
 
     cfg = load_yaml_file(os.path.join(HERE, "pipelines", "lidar3d-default.yaml"), env={})
-    # Layer capacities sized to the measured workload with ~2x margin
-    # (decimated_for_map holds ~8.6k points on these scans, decimated_for_icp
-    # ~1.7k): oversized buffers make every scatter/align pay for padding.
-    # StepOutput's capacity counters guard the margin (asserted below).
-    spec = spec_from_yaml(
-        cfg,
-        raw_capacity=RAW_CAP,
-        map_slots=1 << 17,
-        layer_capacities={
-            "raw": RAW_CAP,
-            "decimated_for_map_raw": 13312,
-            # measured peak ICP-layer occupancy on these scans: 2163 —
-            # the capture gather (the step's most expensive instruction)
-            # scales with CAPACITY, and padded queries are NOT free
-            # (duplicate-row gathers measured slower), so 2560 = 1.18x
-            # margin, saturation asserted after the run.
-            "decimated_for_icp_skewed": 2560,
-            "decimated_for_icp": 2560,
-            # measured peak map-layer occupancy 11.2k -> 13312 = 1.18x
-            # margin; the single-instruction insert (the step's top cost
-            # line after round 2's capture work) scales with this CAPACITY
-            "decimated_for_map": 13312,
-        },
-        kf_ring_capacity=256,
-    )
+    # Capacity sizing: the bench dogfoods utils/capacity.py (VERDICT r3 #7) —
+    # every layer capacity, the map hash size, and the per-layer insert
+    # budget derive from a host-side dry pass over the FIRST scan, exactly
+    # like a production LidarOdometry with auto_capacity.  The old
+    # hand-measured constants remain under MOLA_BENCH_HANDSIZED=1 for A/B
+    # (delta documented in docs/benchmarks.md).  Guards below assert the
+    # auto-sized run keeps saturation at zero and drops < 0.1%.
+    sizing = resolve_sizing(cfg, scans)
+    spec = spec_from_yaml(cfg, kf_ring_capacity=256, **sizing)
 
     fstep = pb.make_fleet_step(spec)
 
@@ -134,18 +148,40 @@ def main():
         )
 
     carry0 = pb.init_fleet_carry(spec, BATCH)
-    t0 = time.time()
+    # Honest compile accounting (VERDICT r3 #3): split trace (lower) /
+    # compile / first-execution, and detect whether the persistent cache
+    # served the executable (no new cache entries written = hit).  The
+    # driver's number is reproducible either way; this makes the warm-vs-
+    # cold split visible instead of implied.
+    cache_dir = os.path.join(HERE, ".jax_cache")
+
+    def _cache_entries():
+        try:
+            return len(os.listdir(cache_dir))
+        except OSError:
+            return 0
+
+    n_cache0 = _cache_entries()
+    run_fn = run_seq
     try:
-        carry_end, (q, iters, acc, cold, nicp, nmap) = run_seq(carry0, seq)
+        t0 = time.time()
+        lowered = run_seq.lower(carry0, seq)
+        t_lower = time.time() - t0
+        t0 = time.time()
+        run_fn = lowered.compile()
+        t_compile = time.time() - t0
+        cache_state = "hit" if _cache_entries() == n_cache0 else "miss"
+        t0 = time.time()
+        carry_end, (q, iters, acc, cold, nicp, nmap) = run_fn(carry0, seq)
         jax.block_until_ready(q)
+        t_first = time.time() - t0
     except Exception as e:  # Mosaic/kernel compile failure: fall back to
         # the pure-XLA path so the bench still reports a (slower) number
         # instead of nothing
         log(f"Pallas path failed ({type(e).__name__}: {e}); retrying XLA-only")
         os.environ["MOLA_TPU_PALLAS"] = "0"
         spec = spec_from_yaml(
-            cfg, raw_capacity=RAW_CAP, map_slots=1 << 17,
-            layer_capacities=dict(spec.layer_capacities), kf_ring_capacity=256,
+            cfg, kf_ring_capacity=256, **sizing,
         )
         fstep = pb.make_fleet_step(spec)
 
@@ -158,9 +194,21 @@ def main():
             )
 
         carry0 = pb.init_fleet_carry(spec, BATCH)
-        carry_end, (q, iters, acc, cold, nicp, nmap) = run_seq(carry0, seq)
+        t0 = time.time()
+        lowered = run_seq.lower(carry0, seq)
+        t_lower = time.time() - t0
+        t0 = time.time()
+        run_fn = lowered.compile()
+        t_compile = time.time() - t0
+        cache_state = "hit" if _cache_entries() == n_cache0 else "miss"
+        t0 = time.time()
+        carry_end, (q, iters, acc, cold, nicp, nmap) = run_fn(carry0, seq)
         jax.block_until_ready(q)
-    log(f"compile+first sequence: {time.time() - t0:.1f}s")
+        t_first = time.time() - t0
+    log(
+        f"compile accounting: trace {t_lower:.1f}s, compile {t_compile:.1f}s "
+        f"(persistent cache: {cache_state}), first exec {t_first:.1f}s"
+    )
     # capacity-margin guard: the ICP layer must never saturate its buffer
     # (saturation = silent truncation = the bench quietly measures less work)
     nmax = int(np.asarray(nicp).max())
@@ -182,17 +230,25 @@ def main():
     if not gt_err < 0.25:
         guards.append("GT drift regressed: %.3f" % gt_err)
     log(f"final-pose GT error: {gt_err:.3f}")
-    if not nmax < 2560:
+    icp_cap = int(spec.layer_capacities.get("decimated_for_icp", 2560))
+    map_cap = int(spec.layer_capacities.get("decimated_for_map", 13312))
+    if not nmax < icp_cap:
         guards.append(f"decimated_for_icp saturated: {nmax}")
     mmax = int(np.asarray(nmap).max())
-    if not mmax < 13312:
+    if not mmax < map_cap:
         guards.append(f"decimated_for_map saturated: {mmax}")
-    log(f"icp-layer occupancy: max {nmax}/2560; map-layer: {mmax}/13312")
+    log(f"icp-layer occupancy: max {nmax}/{icp_cap}; map-layer: {mmax}/{map_cap}")
+    # capacity-pressure guard (auto-sizing contract): collision drops must
+    # stay under 0.1% of the points presented for insert
+    drops = int(np.asarray(cold).sum())
+    presented = int(np.asarray(nmap).sum())
+    if presented and drops / presented > 1e-3:
+        guards.append(f"collision drops {drops}/{presented} > 0.1%")
 
     best = np.inf
     for r in range(REPEATS):
         t0 = time.time()
-        _, (q, iters, acc, cold, nicp, nmap) = run_seq(pb.init_fleet_carry(spec, BATCH), seq)
+        _, (q, iters, acc, cold, nicp, nmap) = run_fn(pb.init_fleet_carry(spec, BATCH), seq)
         jax.block_until_ready(q)
         best = min(best, time.time() - t0)
         log(f"run {r}: {time.time() - t0:.2f}s")
@@ -212,6 +268,12 @@ def main():
         "value": round(scans_per_sec, 2),
         "unit": "scans/s/chip",
         "vs_baseline": round(scans_per_sec / 2000.0, 4),
+        "compile": {
+            "cache": cache_state,
+            "trace_s": round(t_lower, 1),
+            "compile_s": round(t_compile, 1),
+            "first_exec_s": round(t_first, 1),
+        },
     }
     if guards:
         # accuracy/capacity guard failed: the throughput number is still

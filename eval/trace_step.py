@@ -49,19 +49,9 @@ def main():
 
     scans, stamps = bench.gen_scans()
     cfg = load_yaml_file(os.path.join(HERE, "pipelines", "lidar3d-default.yaml"), env={})
-    spec = spec_from_yaml(
-        cfg,
-        raw_capacity=bench.RAW_CAP,
-        map_slots=1 << 17,
-        layer_capacities={
-            "raw": bench.RAW_CAP,
-            "decimated_for_map_raw": 13312,
-            "decimated_for_icp_skewed": 2560,
-            "decimated_for_icp": 2560,
-            "decimated_for_map": 13312,
-        },
-        kf_ring_capacity=256,
-    )
+    # identical sizing to bench.py (auto-derived; MOLA_BENCH_HANDSIZED=1
+    # reproduces the round-3 hand constants)
+    spec = spec_from_yaml(cfg, kf_ring_capacity=256, **bench.resolve_sizing(cfg, scans))
     B = args.batch
     fstep = jax.jit(pb.make_fleet_step(spec))
     carry = pb.init_fleet_carry(spec, B)
