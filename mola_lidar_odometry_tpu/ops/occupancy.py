@@ -9,12 +9,12 @@ pipeline (reference pipelines/lidar2d.yaml:183-198: ``resolution``,
 Same direct-mapped hash layout as the other maps; slots store a log-odds
 occupancy value.  Inserting a scan performs two scatter passes:
 
-  1. **misses** — each beam is sampled at one-voxel steps from the sensor
-     origin toward the endpoint (static sample count, masked past the
-     endpoint) and every touched voxel accumulates the miss log-odds.  This
-     deviates from an exact DDA walk (a voxel crossed twice by sample
-     spacing gets the update twice) but keeps the pass one fixed-shape
-     scatter; matching only consumes *occupied* voxels where hits dominate.
+  1. **misses** — an exact Amanatides-Woo DDA walk (``lax.scan`` over a
+     static step budget) emits every voxel the beam crosses exactly once,
+     masked past ``range - voxel/2``; all emitted voxels accumulate the
+     miss log-odds in one fixed-shape scatter.  This matches the oracle's
+     fine dedup'd walk (oracle.py ExactOccupancyMap.insert) and mrpt's
+     Bonxai ray cast — round-4 fix of the sampled-ray deviation.
   2. **hits** — endpoint voxels accumulate the hit log-odds.
 
 Log-odds are clamped to [logit(clamp_min), logit(clamp_max)].  The matcher
@@ -22,20 +22,21 @@ side exposes occupied-voxel centers as nearest-neighbor targets — the
 point-layer view mp2p_icp's Matcher_Points_DistanceThreshold sees when the
 global layer is an occupancy voxel map.
 
-**Match index (round 3).**  The reference matcher's NN search is a true
-KD-tree over occupied centers (unbounded radius), but a 27-probe capture at
-the occupancy *resolution* (0.05 m for lidar2d.yaml) only sees ±0.075 m —
-far below the pipeline's annealed match threshold (2sigma, sigma_0 = 1.0),
-so ICP went blind beyond one voxel and the 2D family lost the whole
-inter-frame motion (caught by the round-3 oracle parity test).  The map
-therefore carries a companion ``match`` VoxelHashMap holding occupied-voxel
-CENTERS on a coarse grid (``match_grid_factor`` x resolution): capture
-probes that grid, extending the exact-NN radius to one coarse cell
-(0.4 m by default) at the same fused-gather cost.  Centers enter the index
-when their voxel first crosses the occupied threshold; a voxel that later
-decays back below the threshold leaves a stale center behind (bounded by
-the eviction sweep) — a documented deviation, immaterial for static worlds
-and far smaller than the sampled-ray deviation already documented above.
+**Match index (round 3, rebuilt per insert since round 4).**  The reference
+matcher's NN search is a true KD-tree over occupied centers (unbounded
+radius), but a 27-probe capture at the occupancy *resolution* (0.05 m for
+lidar2d.yaml) only sees ±0.075 m — far below the pipeline's annealed match
+threshold (2sigma, sigma_0 = 1.0), so ICP went blind beyond one voxel and
+the 2D family lost the whole inter-frame motion (caught by the round-3
+oracle parity test).  The map therefore carries a companion ``match``
+VoxelHashMap holding occupied-voxel CENTERS on a coarse grid
+(``match_grid_factor`` x resolution): capture probes that grid, extending
+the exact-NN radius to one coarse cell (0.4 m by default) at the same
+fused-gather cost.  The index is REBUILT from the live occupied set on
+every insert (epoch-bump clear + one fixed-shape insert of the slot
+table), so a voxel that decays below the occupied threshold leaves the
+index immediately — exactly the oracle's ``match_targets`` recompute and
+the reference KD-tree rebuild semantics (no stale-center deviation).
 """
 
 from __future__ import annotations
@@ -48,7 +49,7 @@ import jax.numpy as jnp
 
 from mola_lidar_odometry_tpu.ops.filters import voxel_coords, voxel_hash
 from mola_lidar_odometry_tpu.ops.pointcloud import PointCloud
-from mola_lidar_odometry_tpu.ops.voxel_hash import claim_slots, neighbor_coords
+from mola_lidar_odometry_tpu.ops.voxel_hash import claim_slots
 
 
 def _logit(p: float) -> float:
@@ -137,10 +138,7 @@ class OccupancyMap(NamedTuple):
 
 
 def _scatter_update(m: OccupancyMap, xyz, valid, delta):
-    """Claim slots for the touched voxels and scatter-add ``delta`` log-odds.
-
-    Returns ``(map, slot, accept, pre_occ)`` so the hit pass can detect
-    free->occupied crossings for the match index."""
+    """Claim slots for the touched voxels and scatter-add ``delta`` log-odds."""
     V = m.num_slots
     coords = voxel_coords(xyz, m.voxel_size)
     slot = voxel_hash(coords, V)
@@ -151,14 +149,60 @@ def _scatter_update(m: OccupancyMap, xyz, valid, delta):
     same_key = jnp.all(g4[:, :3] == coords.astype(jnp.float32), axis=-1)
     occupied = g4[:, 3] > 0
     accept, claim_ok = claim_slots(same_key, occupied, coords, slot, valid, V)
-    pre_occ = occupied & same_key & (m.logodds[slot] > m.l_occ)
     # fresh claims start from log-odds 0
     lo = jnp.where(m.used, m.logodds, 0.0)
     lo = lo.at[slot].add(jnp.where(accept, delta, 0.0), mode="drop")
     lo = jnp.clip(lo, m.l_min, m.l_max)
     used = m.used.at[jnp.where(accept, slot, V)].set(True, mode="drop")
     keys = m.keys.at[jnp.where(claim_ok, slot, V)].set(coords, mode="drop")
-    return m._replace(keys=keys, used=used, logodds=lo), slot, accept, pre_occ
+    return m._replace(keys=keys, used=used, logodds=lo)
+
+
+def _dda_voxels(origin: jax.Array, xyz: jax.Array, valid, voxel_size, n_steps: int):
+    """Exact Amanatides-Woo voxel walk from ``origin`` toward each point.
+
+    Returns ``(coords, emit)`` of shapes ``(S, N, 3)`` / ``(S, N)``: the
+    first ``S`` voxels each beam crosses (origin voxel first, each crossed
+    voxel exactly once) with ``emit`` masking voxels whose ENTRY ray
+    parameter is below ``range - voxel/2`` — the same stop rule as the
+    oracle's fine walk (oracle.py ExactOccupancyMap.insert).  The recurrence
+    is a ``lax.scan`` over the static step budget: per step, advance the
+    axis whose next grid crossing is nearest (all (N,)-vector ops)."""
+    vs = jnp.asarray(voxel_size, jnp.float32)
+    d = xyz - origin[None, :]
+    rng = jnp.linalg.norm(d, axis=-1)
+    lim = rng - 0.5 * vs  # (N,)
+    safe = jnp.maximum(jnp.abs(d), 1e-12)
+    stepdir = jnp.where(d >= 0, 1, -1).astype(jnp.int32)  # (N, 3)
+    # per-axis ray-parameter (in units of |ray|: t in [0, rng]) per crossing
+    tdelta = vs * rng[:, None] / safe
+    v0 = jnp.floor(origin / vs).astype(jnp.int32)[None, :] * jnp.ones(
+        (xyz.shape[0], 1), jnp.int32
+    )
+    frac = origin[None, :] / vs - v0.astype(jnp.float32)
+    dist_to_edge = jnp.where(d >= 0, 1.0 - frac, frac)
+    tmax0 = dist_to_edge * tdelta  # (N, 3)
+    # degenerate axes (d==0) never advance
+    tmax0 = jnp.where(jnp.abs(d) < 1e-12, jnp.float32(jnp.inf), tmax0)
+
+    def body(carry, _):
+        v, tmax, t_entry = carry
+        emit = valid & (t_entry < lim)
+        ax = jnp.argmin(tmax, axis=-1)  # (N,)
+        t_next = jnp.min(tmax, axis=-1)
+        onehot = jax.nn.one_hot(ax, 3, dtype=jnp.int32)
+        v_next = v + onehot * stepdir
+        tmax_next = tmax + onehot.astype(jnp.float32) * tdelta
+        return (v_next, tmax_next, t_next), (v, emit)
+
+    (_, _, _), (coords, emit) = jax.lax.scan(
+        body,
+        (v0, tmax0, jnp.zeros_like(rng)),
+        None,
+        length=n_steps,
+        unroll=4,
+    )
+    return coords, emit
 
 
 def insert(
@@ -185,7 +229,6 @@ def insert_stats(
     """Insert a scan (global frame); ``sensor_origin`` (3,) is the ray origin
     for the free-space pass.  ``ray_trace``/``max_ray_samples`` are static
     (they shape the program) and come from the MapLayerDef, not the state."""
-    from mola_lidar_odometry_tpu.ops import batched_mem as BM
     from mola_lidar_odometry_tpu.ops import voxel_hash as vh
 
     if ray_trace:
@@ -194,42 +237,24 @@ def insert_stats(
             if sensor_origin is None
             else jnp.asarray(sensor_origin, jnp.float32)
         )
-        d = pc.xyz - origin  # (N, 3)
-        rng = jnp.linalg.norm(d, axis=-1)
-        S = max_ray_samples
-        # samples at one-voxel spacing, masked past (range - half voxel)
-        ts = (jnp.arange(S, dtype=jnp.float32)[None, :] + 0.5) * m.voxel_size  # (1,S)
-        inside = ts < (rng[:, None] - 0.5 * m.voxel_size)
-        pts = origin + d[:, None, :] * (ts / jnp.maximum(rng[:, None], 1e-6))[:, :, None]
-        miss_valid = inside & pc.valid[:, None]
+        # exact DDA walk: each crossed voxel exactly once (oracle semantics)
+        coords, emit = _dda_voxels(
+            origin, pc.xyz, pc.valid, m.voxel_size, max_ray_samples
+        )
+        centers = (coords.astype(jnp.float32) + 0.5) * m.voxel_size
         m = _scatter_update(
-            m, pts.reshape(-1, 3), miss_valid.reshape(-1), m.l_miss
-        )[0]
+            m, centers.reshape(-1, 3), emit.reshape(-1), m.l_miss
+        )
 
-    m2, slot, accept, pre_occ = _scatter_update(m, pc.xyz, pc.valid, m.l_hit)
-    # ---- match-index maintenance: free->occupied crossings ----------------
-    post_occ = accept & (m2.logodds[slot] > m2.l_occ)
-    newly = accept & post_occ & ~pre_occ
-    coords = voxel_coords(pc.xyz, m.voxel_size)
-    centers = (coords.astype(jnp.float32) + 0.5) * m.voxel_size
-    # dedup within the batch: one center per fine voxel (claim by index)
-    n = pc.xyz.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    big = jnp.int32(n)
-    fine_slot = voxel_hash(coords, m.num_slots)
-    winner = BM.table_min(
-        jnp.full((m.num_slots,), big, jnp.int32),
-        fine_slot,
-        jnp.where(newly, idx, big),
+    m2 = _scatter_update(m, pc.xyz, pc.valid, m.l_hit)
+    # ---- match index: rebuild from the LIVE occupied set ------------------
+    # Epoch-bump clear + one fixed-shape insert of the slot table.  Decayed
+    # voxels leave the index the same frame (oracle match_targets semantics);
+    # a coarse cell overflowing its point cap surfaces as full_drops.
+    all_centers = (m2.keys.astype(jnp.float32) + 0.5) * m2.voxel_size
+    match, mstats = vh.insert_stats(
+        m2.match.clear(), PointCloud.from_xyz(all_centers, valid=m2.occupied())
     )
-    w_idx = BM.gather_rows(winner, fine_slot)
-    w_coords = BM.gather_rows(coords, jnp.where(w_idx < big, w_idx, 0))
-    same_as_winner = jnp.all(w_coords == coords, axis=-1)
-    # drop only same-voxel losers; different voxels sharing a scratch slot keep
-    newly = newly & ((w_idx == idx) | ~same_as_winner)
-    # match-index pressure is observable: a coarse cell overflowing its
-    # point cap (full_drops) hides occupied surface from the matcher
-    match, mstats = vh.insert_stats(m2.match, PointCloud.from_xyz(centers, valid=newly))
     return m2._replace(match=match), mstats
 
 
