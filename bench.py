@@ -11,6 +11,7 @@ JSON line on stdout.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -135,7 +136,9 @@ def main():
     seq = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_step)
     seq = jax.device_put(seq)
 
-    @jax.jit
+    # donate the carry: the map tables update in place instead of paying a
+    # whole-table entry copy per sequence (a fresh carry is built per repeat)
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def run_seq(carry, seq):
         carry, outs = jax.lax.scan(fstep, carry, seq)
         return carry, (

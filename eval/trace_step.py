@@ -53,7 +53,11 @@ def main():
     # reproduces the round-3 hand constants)
     spec = spec_from_yaml(cfg, kf_ring_capacity=256, **bench.resolve_sizing(cfg, scans))
     B = args.batch
-    fstep = jax.jit(pb.make_fleet_step(spec))
+    import functools
+
+    # donate the carry so per-call map-table entry copies don't pollute the
+    # profile (bench.py's scan-over-steps pays that copy once per sequence)
+    fstep = functools.partial(jax.jit, donate_argnums=(0,))(pb.make_fleet_step(spec))
     carry = pb.init_fleet_carry(spec, B)
 
     packed = [

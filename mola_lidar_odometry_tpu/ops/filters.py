@@ -99,7 +99,11 @@ def decimate_voxels(
         # 1-operand sort compacts winners to the front in input order.
         T = jnp.int32(table_size)
         key = jnp.where(pc.valid, slots, T)
-        skey, sidx = jax.lax.sort([key, idx], num_keys=2)
+        # stable 1-key sort: idx rides as a VALUE operand — within equal
+        # keys the ascending input order is preserved, so the explicit idx
+        # key is redundant and the comparator is half as wide (the two
+        # decimation sorts are raw-capacity-sized, ~1 ns/element on device)
+        skey, sidx = jax.lax.sort([key, idx], num_keys=1, is_stable=True)
         first = (
             jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
             & (skey < T)

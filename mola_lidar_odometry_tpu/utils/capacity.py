@@ -37,10 +37,18 @@ def _next_pow2(n: int) -> int:
 
 
 # margins: layer populations vary frame-to-frame (deskew, range-estimate
-# drift moves the decimation resolutions); 1.5x absorbed every variation
-# observed on the bench/eval worlds, and saturation still warns at runtime.
-LAYER_MARGIN = 1.5
+# drift moves the decimation resolutions).  1.25x holds every variation
+# observed on the bench/eval worlds (round-4 device profile: steady-state
+# peaks sit BELOW the first-scan populations, so the measurement is already
+# an upper proxy), saturation still warns at runtime, and every extra 512
+# ICP-layer rows cost real capture-gather time (row-count-bound).
+LAYER_MARGIN = 1.25
 LAYER_QUANTUM = 512
+# the insert budget must cover a bring-up frame's unique voxels with room
+# for depth fill (models/spec.py budget resolution); undershooting thins
+# first-frame map coverage, so it keeps the fatter 1.5x margin
+BUDGET_MARGIN = 1.5
+RAW_QUANTUM = 8192
 # The sliding map accumulates several keyframes of fresh voxels before
 # eviction, and a voxel drops when BOTH ways of its 2-way bucket are taken
 # (ops/voxel_hash.py).  Measured on a dense non-bench world (10 frames,
@@ -96,8 +104,11 @@ def derive_capacities(
     # 1.25x headroom: the first scan is often SMALLER than steady state
     # (partial first revolution in recorded bags), and _pad_scan silently
     # truncates anything past raw_capacity.  A truncation watchdog in
-    # models/odometry.py covers the remaining tail.
-    raw_capacity = _next_pow2(int(n * 1.25))
+    # models/odometry.py covers the remaining tail.  Rounded to 8k, NOT the
+    # next power of two: pow2 rounding doubled the raw buffer on the bench
+    # world and every raw-wide sort/gather paid for the padding (round-4
+    # device profile: the two decimation sorts scale ~1 ns/element).
+    raw_capacity = _round_up(int(n * 1.25), RAW_QUANTUM)
     caps: Dict[str, int] = {"raw": raw_capacity}
     for name, c in layers.items():
         if name == "raw":
@@ -129,7 +140,7 @@ def derive_capacities(
     # binding constraint (measured: budget below the unique-voxel count
     # thins first-frame coverage and degrades every subsequent pose)
     budgets = {
-        name: _round_up(int(math.ceil(nv * LAYER_MARGIN)), LAYER_QUANTUM)
+        name: _round_up(int(math.ceil(nv * BUDGET_MARGIN)), LAYER_QUANTUM)
         for name, nv in vox_by_target.items()
     }
     return raw_capacity, map_slots, caps, budgets

@@ -124,8 +124,9 @@ class TestAutoCapacity:
         ratio = drops / max(inserts, 1)
         assert ratio < 0.001, f"collision drops {100*ratio:.3f}% of inserts"
         # the dry pass actually derived the sizes (not the env defaults);
-        # raw gets 1.25x headroom over the first scan (16384 pts -> 32768)
-        assert lo.spec.raw_capacity == 32768
+        # raw gets 1.25x headroom over the first scan, rounded to 8k
+        # (16384 pts -> 24576, round-4 policy: no pow2 doubling)
+        assert lo.spec.raw_capacity == 24576
         assert lo.spec.map_layers[0].num_slots >= 1 << 16
 
     def test_layer_capacities_not_saturated(self):
