@@ -85,8 +85,12 @@ def resolve_sizing(cfg, scans):
         log("sizing: hand-measured constants (MOLA_BENCH_HANDSIZED=1)")
         return dict(raw_capacity=RAW_CAP, map_slots=1 << 17, layer_capacities=caps)
     spec0 = spec_from_yaml(cfg)
+    # the bench pre-generates the whole sequence, so the true max scan size
+    # is known exactly — no raw margin needed (capacity.py known_max_points)
+    max_pts = max(int(v.sum()) for _, _, _, v in scans)
     raw_cap, map_slots, caps, budgets = derive_capacities(
-        spec0, scans[0][0][scans[0][3]], scans[0][1][scans[0][3]], with_budgets=True
+        spec0, scans[0][0][scans[0][3]], scans[0][1][scans[0][3]],
+        with_budgets=True, known_max_points=max_pts,
     )
     log(f"sizing: auto (utils/capacity.py) raw={raw_cap} slots={map_slots} "
         f"layers={caps} budgets={budgets}")

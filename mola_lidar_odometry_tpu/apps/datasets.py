@@ -20,9 +20,10 @@ the public datasets:
   * MulRan:  ``$MULRAN_BASE_DIR/<seq>/Ouster/<ns>.bin`` + ``global_pose.csv``.
   * Paris-LuCo:  ``$PARIS_LUCO_BASE_DIR/frames/frame_*.ply`` (binary PLY with
     per-point timestamps).
-  * rawlog / rosbag2 readers require mrpt / rosbag2 python bindings, which
-    are optional; constructing them without the dependency raises a clear
-    error (the reference compiles them out via HAVE_* macros).
+  * rawlog / rosbag2 / mcap readers are NATIVE since round 3: pure-Python
+    CArchive parsing (utils/mrpt_io.py), sqlite3 ``.db3`` + CDR decoding
+    (utils/rosbag2.py) and a pure-Python MCAP reader (utils/mcap.py) — no
+    mrpt or rclpy bindings required.
   * ``SimDataset``: the bundled ray-cast simulator as a dataset source — the
     always-available stand-in for CI and demos.
 """

@@ -602,7 +602,11 @@ class LidarOdometry:
         from mola_lidar_odometry_tpu.ops import maps as maps_ops
 
         name = layer or self.spec.map_layers[0].name
-        pc = maps_ops.as_pointcloud(self.carry.maps[name], capacity)
+        # anchor the wrapped-key unwrap at the current pose: the sliding map
+        # always lives near the robot, never necessarily near the origin
+        pc = maps_ops.as_pointcloud(
+            self.carry.maps[name], capacity, anchor=self.carry.pose_t
+        )
         v = np.asarray(pc.valid)
         return np.asarray(pc.xyz)[v]
 

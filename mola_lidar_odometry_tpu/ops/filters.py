@@ -110,15 +110,24 @@ def decimate_voxels(
         )
         passthrough = pc.count() < min_input_points
         winner = jnp.where(passthrough, skey < T, first)
-        # compact winners to the front in INPUT order via top_k: scoring by
-        # descending input position makes top_k return them input-ordered
-        # (~0.2 ms vs ~0.9 ms for a second sort at 131k, eval traces)
-        score = jnp.where(winner, n - sidx, 0)
-        vals, _ = jax.lax.top_k(score, min(out_capacity, n))
-        if out_capacity > n:
-            vals = jnp.pad(vals, (0, out_capacity - n))
-        valid_out = vals > 0
-        out_idx = jnp.where(valid_out, n - vals, n)
+        # compact winners to the front via prefix-sum + one flat scatter
+        # (~0.9 ms vs ~1.5 ms for top_k at 131k x B=8, round-4 device
+        # profile: scatters are ~6 ns/static-element with no floor).  The
+        # output order is SLOT order, not input order — every consumer
+        # (matcher capture, GN solver, map insert) is order-free: the
+        # winner SET is identical, map voxels store the same point sets,
+        # and the float64 oracle gates bound the residual f32
+        # reassociation effect.  Winners beyond out_capacity are dropped
+        # (same truncation contract as before; the saturation watchdog in
+        # models/odometry.py still sees the layer fill).
+        dest = jnp.cumsum(winner.astype(jnp.int32)) - 1
+        # drop sentinel must be >= out_capacity (n alone is not when the
+        # output buffer is larger than the input)
+        dest = jnp.where(winner, dest, jnp.int32(out_capacity))
+        out_idx = BM.scatter_set_unique(
+            jnp.full((out_capacity,), n, jnp.int32), dest, sidx
+        )
+        valid_out = out_idx < n
         packed = jnp.concatenate(
             [
                 pc.xyz,

@@ -288,7 +288,7 @@ def _align_fused_call(cfg, maps, layers, init_pose, prior, env, budget) -> IcpRe
         and isinstance(m0, _VHM)
         and cfg.per_voxel_nn
         and m0.points_per_voxel > 2
-        and m0.stride == 64  # the kernel's window-select is stride-64 only
+        and m0.stride <= 128  # kernel window-select: W = 128 // stride ways
     )
 
     def capture_at(pose, nbr):
@@ -298,7 +298,7 @@ def _align_fused_call(cfg, maps, layers, init_pose, prior, env, budget) -> IcpRe
             q = se3.transform(pose, xyz)  # identical to _capture_all's q
             return pallas_capture.capture_planar(
                 m0.data, m0.voxel_size, m0.epoch, q, nbr,
-                interpret=interpret, K=m0.K,
+                interpret=interpret, K=m0.K, stride=m0.stride,
             )
         cfg_n = (
             cfg
@@ -386,9 +386,19 @@ def _align_fused_call(cfg, maps, layers, init_pose, prior, env, budget) -> IcpRe
     # point is exactly where the top-2 approximation errs, and confirming /
     # correcting it against FRESH candidates costs 1-2 extra iterations.
     # Only a hook stop (caller re-deskews and re-enters) or an exhausted
-    # budget skips the refresh.
-    need2 = (~hook1) & (budget > it1)
-    R, t, iters, hook, converged, quality = jax.lax.cond(need2, phase2, keep, None)
+    # budget skips the refresh.  (Under vmap the cond lowers to both
+    # branches, so the refresh capture gather is paid on EVERY batched
+    # step; MOLA_TPU_FUSED_REFRESH=0 disables phase 2 statically for A/B
+    # measurement — the refresh leg is ~2 ms of the B=8 step.)
+    import os as _os
+
+    if _os.environ.get("MOLA_TPU_FUSED_REFRESH", "1") == "0":
+        R, t, iters, hook, converged, quality = keep(None)
+    else:
+        need2 = (~hook1) & (budget > it1)
+        R, t, iters, hook, converged, quality = jax.lax.cond(
+            need2, phase2, keep, None
+        )
     return IcpResult(
         pose=Pose(R, t),
         quality=quality,

@@ -275,10 +275,15 @@ def query_p2pl(
     raise TypeError(f"point-to-plane matching unsupported for {type(state)}")
 
 
-def as_pointcloud(state, capacity: int) -> PointCloud:
-    """Flatten a map layer to a point view (viz / serialization / export)."""
+def as_pointcloud(state, capacity: int, anchor=None) -> PointCloud:
+    """Flatten a map layer to a point view (viz / serialization / export).
+
+    ``anchor`` (3,) world position (typically the current robot pose)
+    disambiguates the wrapped voxel keys of hash maps — required for
+    correct absolute points once the sliding map lives beyond ±1024
+    voxels of the origin in x/y (±128 in z); see voxel_hash.pts_near."""
     if isinstance(state, voxel_hash.VoxelHashMap):
-        return voxel_hash.as_pointcloud(state, capacity)
+        return voxel_hash.as_pointcloud(state, capacity, anchor=anchor)
     if isinstance(state, ndt.NdtMap):
         live = state.n > 0
         return PointCloud.from_xyz(state.means(), valid=live).compact(capacity)

@@ -9,8 +9,8 @@ times and was measured at ~17 ms of the ~19.6 ms capture total (B=8, v5e).
 This kernel keeps the gather in XLA (measured at the hardware's random-row
 floor — a manual per-row DMA loop cannot beat it) and fuses EVERYTHING
 after it into one pass: window select, key check, live/count masking,
-squared distances, and the top-2-per-voxel one-hot selection, reading each
-gathered row from HBM exactly once.
+point dequantization, squared distances, and the top-2-per-voxel one-hot
+selection, reading each gathered row from HBM exactly once.
 
 Layout is everything on this VPU: with queries on LANES and the K point
 slots on SUBLANES every op runs at full 128-lane width.  The gathered row
@@ -21,14 +21,15 @@ probe-major order ``(P, npad, 128)`` and results are written straight into
 the planar ``(plane, P, npad)`` arrangement the fused align kernel
 (ops/pallas_icp.py) keeps in VMEM — no transposes outside the kernel.
 
-Data layout contract (ops/voxel_hash.py, round-3 storage): the table is
-``(V/2, 128) int32`` with TWO slot windows per physical row = one 2-way
-BUCKET (stride-64 windows).  A slot window is ``[pkey | state | x*K | y*K
-| z*K]`` where ``pkey`` is the wrapped 12|12|8-bit voxel key, ``state``
-packs ``epoch<<16 | count``, and points are f32 bit patterns.  The kernel
-gathers full bucket rows and selects the way whose live pkey matches the
-probe's expected key — the same VPU compare it already did for the key
-check, so associativity is free here too.
+Data layout contract (ops/voxel_hash.py, round-4 packed storage): the
+table is ``(rows, 128) int32`` with ``W = 128 // stride`` slot windows per
+physical row = one W-way BUCKET.  A slot window is ``[pkey | state |
+packed_pt * K]`` where ``pkey`` is the wrapped 12|12|8-bit voxel key,
+``state`` packs ``epoch<<16 | count``, and each point is ONE i32 lane: the
+within-voxel offset quantized 10|10|10 (x|y|z).  The kernel gathers full
+bucket rows, selects the way whose live pkey matches the probe's expected
+key, and dequantizes offsets against the probe's own voxel coords (already
+in registers) — bit-exact vs ``voxel_hash.unpack_points`` (same op order).
 
 Semantics match ``voxel_hash.capture(..., per_voxel_nn=True)`` exactly:
 the reference behavior served is the KD-tree NN search inside
@@ -47,18 +48,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG = 3.4e38
+_QBITS = 10
+_Q = 1 << _QBITS
+_INV_Q = 1.0 / _Q
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _make_kernel(K: int, P: int, TQ: int, neighbors: int):
+def _make_kernel(K: int, P: int, TQ: int, neighbors: int, stride: int):
+    W = 128 // stride
+
     def kernel(sp_ref, g_ref, q_ref, out_ref):
         # sp_ref: (1, 8) f32 SMEM [voxel_size, inv_voxel_size, epoch16, ...]
         # g_ref:  (P, TQ, 128) VMEM i32 — bucket rows, all probes of tile
         # q_ref:  (8, TQ) VMEM f32 — query planes [x; y; z; pad...]
         # out_ref:(8, P, TQ) VMEM f32 — planes [x1,y1,z1,m1,x2,y2,z2,m2]
+        vs = sp_ref[0, 0]
         inv_vs = sp_ref[0, 1]
         epoch16 = sp_ref[0, 2]
 
@@ -103,21 +110,33 @@ def _make_kernel(K: int, P: int, TQ: int, neighbors: int):
             iz = ez.astype(jnp.int32) & 255
             pk_exp = (ix << 20) | (iy << 8) | iz
 
-            # 2-way bucket: pick the 64-lane way whose live pkey matches
-            lo, hi = rt[0:64], rt[64:128]
+            # W-way bucket: pick the stride-lane way whose live pkey
+            # matches (insert keeps live pkeys unique within a bucket, so
+            # at most one way matches and the select order is irrelevant)
+            ways = [rt[w * stride : (w + 1) * stride] for w in range(W)]
 
             def way_ok(h):
                 ep = ((h[1:2] >> 16) & 0xFFFF).astype(jnp.float32) == epoch16
                 return (h[0:1] == pk_exp) & ep
 
-            ok_lo, ok_hi = way_ok(lo), way_ok(hi)
-            half = jnp.where(ok_hi, hi, lo)  # (64, TQ)
+            oks = [way_ok(h) for h in ways]
+            half = ways[0]
+            any_ok = oks[0]
+            for h, ok in zip(ways[1:], oks[1:]):
+                half = jnp.where(ok, h, half)
+                any_ok = any_ok | ok
             state = half[1:2]
             cnt = (state & 0xFFFF).astype(jnp.float32)
-            xs = jax.lax.bitcast_convert_type(half[2 : 2 + K], jnp.float32)
-            ys = jax.lax.bitcast_convert_type(half[2 + K : 2 + 2 * K], jnp.float32)
-            zs = jax.lax.bitcast_convert_type(half[2 + 2 * K : 2 + 3 * K], jnp.float32)
-            live = (ok_lo | ok_hi) & (cnt > 0)
+            # dequantize the packed 10|10|10 within-voxel offsets against
+            # the probe's voxel coords — same op order as unpack_points
+            pp = half[2 : 2 + K]  # (K, TQ) i32
+            px = ((pp >> (2 * _QBITS)) & (_Q - 1)).astype(jnp.float32)
+            py = ((pp >> _QBITS) & (_Q - 1)).astype(jnp.float32)
+            pz = (pp & (_Q - 1)).astype(jnp.float32)
+            xs = (ex + (px + 0.5) * _INV_Q) * vs
+            ys = (ey + (py + 0.5) * _INV_Q) * vs
+            zs = (ez + (pz + 0.5) * _INV_Q) * vs
+            live = any_ok & (cnt > 0)
             kmask = live & (k_iota < cnt)
 
             dx = xs - qx
@@ -149,10 +168,10 @@ def _make_kernel(K: int, P: int, TQ: int, neighbors: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("neighbors", "interpret", "tile_q", "K")
+    jax.jit, static_argnames=("neighbors", "interpret", "tile_q", "K", "stride")
 )
 def capture_planar(
-    data: jax.Array,  # (V/2, 128) i32 packed slot windows (stride=64)
+    data: jax.Array,  # (rows, 128) i32 packed slot windows
     voxel_size: jax.Array,  # () f32
     epoch: jax.Array,  # () i32 — slot-liveness tag (see voxel_hash docstring)
     queries: jax.Array,  # (N, 3) world-frame query points
@@ -160,6 +179,7 @@ def capture_planar(
     interpret: bool = False,
     tile_q: int = 256,
     K: int = 20,
+    stride: int = 32,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused capture: returns planar candidates ``(cx, cy, cz, cm)``, each
     ``(2P, npad)`` f32 — exactly the layout ops/pallas_icp.align_fused keeps
@@ -168,7 +188,9 @@ def capture_planar(
     from mola_lidar_odometry_tpu.ops.voxel_hash import neighbor_coords
     from mola_lidar_odometry_tpu.ops import batched_mem as BM
 
-    NB = data.shape[0]  # one 2-way bucket per physical row (stride 64)
+    if 128 % stride or not 2 + K <= stride <= 128:  # pragma: no cover
+        raise ValueError((K, stride))
+    NB = data.shape[0]  # one W-way bucket per physical row (stride <= 128)
     n = queries.shape[0]
     TQ = min(tile_q, _round_up(max(n, 128), 128))
     npad = _round_up(max(n, TQ), TQ)
@@ -194,7 +216,7 @@ def capture_planar(
 
     ntiles = npad // TQ
     out = pl.pallas_call(
-        _make_kernel(K, P, TQ, neighbors),
+        _make_kernel(K, P, TQ, neighbors, stride),
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -19,7 +19,7 @@ docs/benchmarks.md):
   scatter is layout-identical (no materializing reshape) and the table
   never changes layout.
 
-  Slot window (``stride`` = smallest of 32/64/128/256 >= 2 + 3K):
+  Slot window (``stride`` = smallest of 32/64/128/256 >= 2 + K):
     * lane 0 — **packed voxel key** ``pkey``: the voxel integer coords
       wrapped into 12|12|8 bits (x|y|z).  Exact voxel identity as long as
       live voxels span < 2048 cells in x/y and < 128 in z around each
@@ -30,11 +30,19 @@ docs/benchmarks.md):
       live only when its epoch field equals the map's ``epoch`` scalar, so
       ``clear()`` is a scalar increment — a real table wipe under vmap
       costs a whole-table select chain (~6 ms/step at B=8, measured).
-    * lanes 2..2+3K — the K point slots, planar x*K | y*K | z*K, f32 bits.
+    * lanes 2..2+K — the K point slots, ONE i32 lane per point: the
+      within-voxel offset quantized 10|10|10 bits (x|y|z), dequantized at
+      offset-cell centers (max error ``voxel_size/2048`` per axis —
+      ~0.5 mm at the 1 m localmap default, far below sensor noise; the
+      float64 oracle parity gates bound the end-to-end effect).  Absolute
+      positions reconstruct from the probed voxel's coords, which every
+      reader already knows (capture probes a coordinate; whole-table
+      views unwrap ``pkey`` near an anchor).
 
-  The planar in-window point layout keeps each coordinate a CONTIGUOUS
-  lane slice of the gathered row — the fused Pallas capture kernel
-  (ops/pallas_capture.py) slices lanes without strided shuffles.
+  Packed points (round 4) cut the insert scatter from 5 to 3 words per
+  stored point and HALVE the table bytes (stride 64 -> 32 at K=20), which
+  also makes every bucket row 4-way associative for free and keeps more
+  of the table hot under the row gathers that dominate capture.
 
 **Set-associative buckets (round 3).**  A direct-mapped table drops every
 point of the voxel that loses a slot to a different voxel — measured at
@@ -51,12 +59,13 @@ Insertion is fully parallel, atomics-free and SORT-FUSED: one
 lexicographic (bucket, pkey, idx) sort groups each voxel's valid points
 contiguously (first-come point at the subrun head); per-voxel ranks and
 per-bucket way claims come from segmented scans in the sorted domain; the
-table update is ONE flat element scatter of 5 words per stored point
-(x, y, z, pkey, state) — all points of a subrun write identical
+table update is ONE flat element scatter of 3 words per stored point
+(packed offset, pkey, state) — all points of a subrun write identical
 pkey/state values, so duplicate scatter ordering cannot change state.
 Measured on this v5e: scatters cost ~6 ns per (masked or live) element
 with no per-instruction floor, so fewer static elements per point is the
-whole game (8 -> 5 here, and no layout round-trip).  Ways inside a bucket
+whole game (8 -> 5 -> 3 across rounds, and no layout round-trip).  Ways
+inside a bucket
 are claimed in pkey order rather than strict arrival order (the sort
 groups by pkey) — only observable when a bucket overflows, where the
 reference (unbounded map) has no analogue at all.
@@ -122,12 +131,47 @@ def unpack_key_near(pkey: jax.Array, anchor: jax.Array) -> jax.Array:
     )
 
 
+# within-voxel point quantization: 10 bits per axis (1024 offset cells)
+_QBITS = 10
+_Q = 1 << _QBITS
+_INV_Q = 1.0 / _Q
+
+
+def pack_points(xyz: jax.Array, coords: jax.Array, voxel_size) -> jax.Array:
+    """(..., 3) f32 points + their (..., 3) i32 voxel coords -> (...,) i32.
+
+    Within-voxel offsets quantized to 10|10|10 bits (x|y|z).  ``coords``
+    must be ``voxel_coords(xyz, voxel_size)`` — offsets are in [0, 1) by
+    construction; the clip only guards f32 edge rounding."""
+    f = xyz / voxel_size - coords.astype(jnp.float32)
+    q = jnp.clip((f * _Q).astype(jnp.int32), 0, _Q - 1)
+    return (q[..., 0] << (2 * _QBITS)) | (q[..., 1] << _QBITS) | q[..., 2]
+
+
+def unpack_points(word: jax.Array, coords: jax.Array, voxel_size) -> jax.Array:
+    """Inverse of :func:`pack_points` at offset-cell centers.
+
+    ``coords`` are the (UNWRAPPED) voxel coords the points belong to,
+    broadcastable against ``word``'s shape + (3,).  Max error per axis is
+    ``voxel_size / 2048``.  The Pallas capture kernel reproduces this
+    dequantization bit-exactly (same op order) — keep the two in sync."""
+    q = jnp.stack(
+        [
+            (word >> (2 * _QBITS)) & (_Q - 1),
+            (word >> _QBITS) & (_Q - 1),
+            word & (_Q - 1),
+        ],
+        axis=-1,
+    ).astype(jnp.float32)
+    return (coords.astype(jnp.float32) + (q + 0.5) * _INV_Q) * voxel_size
+
+
 def _pick_stride(K: int) -> int:
-    need = 2 + 3 * K
+    need = 2 + K
     for s in (32, 64, 128, 256):
         if need <= s:
             return s
-    raise ValueError(f"points_per_voxel={K} too large (max 84)")
+    raise ValueError(f"points_per_voxel={K} too large (max 254)")
 
 
 def neighbor_coords(queries: jax.Array, base: jax.Array, voxel_size, neighbors: int) -> jax.Array:
@@ -220,11 +264,18 @@ class VoxelHashMap:
 
     @property
     def pts(self) -> jax.Array:
-        """(V, K, 3) f32 — stored points (garbage beyond each count)."""
-        V, K = self.num_slots, self.K
-        w = self._windows[:, 2 : 2 + 3 * K]
-        xyz = jax.lax.bitcast_convert_type(w, jnp.float32).reshape(V, 3, K)
-        return jnp.swapaxes(xyz, 1, 2)
+        """(V, K, 3) f32 — stored points (garbage beyond each count),
+        unwrapped near the ORIGIN — use :meth:`pts_near` when the map may
+        live beyond the pkey wrap envelope of the origin."""
+        return self.pts_near(jnp.zeros(3, jnp.int32))
+
+    def pts_near(self, anchor_vox: jax.Array) -> jax.Array:
+        """(V, K, 3) f32 stored points, voxel coords unwrapped near
+        ``anchor_vox`` (3,) i32 (e.g. the robot's voxel)."""
+        K = self.K
+        w = self._windows[:, 2 : 2 + K]  # (V, K) packed offsets
+        coords = self.keys_near(anchor_vox)  # (V, 3)
+        return unpack_points(w, coords[:, None, :], self.voxel_size)
 
     def num_points(self) -> jax.Array:
         return jnp.sum(self.count)
@@ -362,12 +413,12 @@ def insert_stats(
     the stats all happen in the sorted domain with no claim table and no
     winner gathers.
 
-    The table update is ONE flat element scatter of 5 i32 words per
-    stored point: x, y, z (f32 bits) into the planar point lanes, plus
-    the way's pkey and final state — every stored point of a subrun
-    writes the IDENTICAL pkey/state words (the subrun's final count), so
-    duplicate scatter ordering cannot change the result.  Elements are
-    ~6 ns each on this chip with no per-instruction floor
+    The table update is ONE flat element scatter of 3 i32 words per
+    stored point: the 10|10|10-quantized within-voxel offset into the
+    point lane, plus the way's pkey and final state — every stored point
+    of a subrun writes the IDENTICAL pkey/state words (the subrun's final
+    count), so duplicate scatter ordering cannot change the result.
+    Elements are ~6 ns each on this chip with no per-instruction floor
     (eval/micro_insert.py), so the static element count per point is the
     entire cost.
     """
@@ -430,31 +481,27 @@ def insert_stats(
     way = jnp.where(any_match, exist_way, claim_way)
     cnt_at = jnp.where(any_match, cnt_exist, 0)
     s_xyz = BM.gather_rows(pc.xyz, sidx)  # (n, 3) hot narrow gather
+    # voxel coords in the sorted domain (bit-identical recompute beats a
+    # 3-wide gather of the pre-sort coords)
+    s_coords = voxel_coords(s_xyz, m.voxel_size)
 
     if min_distance > 0:
         # ``min_distance_between_points`` (reference insertOpts,
         # pipelines/lidar3d-default.yaml:236): reject a point closer than
         # this to any point ALREADY STORED in its voxel.  The stored points
-        # are in the gathered bucket row — K lane slices, no extra memory
-        # traffic.  Same-batch points do not see each other (they arrive
-        # pre-decimated at >= this resolution in every shipped pipeline);
-        # documented deviation, docs/parity.md.
+        # are in the gathered bucket row — one packed lane slice, no extra
+        # memory traffic (dequantized against my own voxel coords: stored
+        # points share my voxel).  Same-batch points do not see each other
+        # (they arrive pre-decimated at >= this resolution in every shipped
+        # pipeline); documented deviation, docs/parity.md.
         off = way * s
         kj = jnp.arange(K, dtype=jnp.int32)
-
-        def way_lanes(base_off):
-            cols = off[:, None] + base_off + kj[None]
-            return jax.lax.bitcast_convert_type(
-                jnp.take_along_axis(g, cols, axis=1), jnp.float32
-            )
-
-        sxs, sys, szs = way_lanes(2), way_lanes(2 + K), way_lanes(2 + 2 * K)
+        cols = off[:, None] + 2 + kj[None]
+        spts = unpack_points(
+            jnp.take_along_axis(g, cols, axis=1), s_coords[:, None, :], m.voxel_size
+        )  # (n, K, 3)
         stored = kj[None, :] < cnt_at[:, None]
-        d2s = (
-            (sxs - s_xyz[:, 0:1]) ** 2
-            + (sys - s_xyz[:, 1:2]) ** 2
-            + (szs - s_xyz[:, 2:3]) ** 2
-        )
+        d2s = jnp.sum((spts - s_xyz[:, None, :]) ** 2, axis=-1)
         too_close = jnp.any(stored & (d2s < min_distance * min_distance), axis=-1)
         accept = accept & ~too_close
     else:
@@ -519,27 +566,22 @@ def insert_stats(
 
     oob = jnp.int32(m.data.shape[-2] * 128)
     p_base = (s_bucket * W + way) * s
-    xyz_bits = jax.lax.bitcast_convert_type(s_xyz, jnp.int32)
+    packed = pack_points(s_xyz, s_coords, m.voxel_size)
     # flat element indices (the (rows,128) -> flat reshape is layout-exact
     # for 128-lane rows — no materializing layout round-trip)
     idx = jnp.stack(
         [
-            jnp.where(keep, p_base + 2 + dest, oob),  # x
-            jnp.where(keep, p_base + 2 + K + dest, oob),  # y
-            jnp.where(keep, p_base + 2 + 2 * K + dest, oob),  # z
+            jnp.where(keep, p_base + 2 + dest, oob),  # packed point offset
             jnp.where(head, p_base + 0, oob),  # pkey (head of subrun only)
             jnp.where(head, p_base + 1, oob),  # state (head of subrun only)
         ],
         axis=-1,
-    )  # (n, 5)
-    vals = jnp.stack(
-        [xyz_bits[:, 0], xyz_bits[:, 1], xyz_bits[:, 2], spk, state_fin],
-        axis=-1,
-    )
+    )  # (n, 3)
+    vals = jnp.stack([packed, spk, state_fin], axis=-1)
     if compact:
         # ONE tiny stable sort moves kept rows to the front (cheap at layer
         # sizes: ~0.15 ms at 8x13312), then the scatter touches only the
-        # C-prefix — 5*C static elements instead of 5*n.
+        # C-prefix — 3*C static elements instead of 3*n.
         pos2 = jnp.arange(n, dtype=jnp.int32)
         _, perm = jax.lax.sort([(~keep).astype(jnp.int32), pos2], num_keys=2)
         sel = perm[:C]
@@ -680,14 +722,10 @@ def capture(
     state = g[..., 1]
     cnt = jnp.where(match, state & 0xFFFF, 0)
     live = match & (cnt > 0)
-    pts4 = jnp.stack(
-        [
-            jax.lax.bitcast_convert_type(g[..., 2 : 2 + K], jnp.float32),
-            jax.lax.bitcast_convert_type(g[..., 2 + K : 2 + 2 * K], jnp.float32),
-            jax.lax.bitcast_convert_type(g[..., 2 + 2 * K : 2 + 3 * K], jnp.float32),
-        ],
-        axis=-1,
-    )  # (n, P, K, 3)
+    # candidates belong to the PROBED voxel, so the probe coords (already
+    # in registers) anchor the dequantization — no key unwrap needed
+    pts4 = unpack_points(g[..., 2 : 2 + K], cand[:, :, None, :], m.voxel_size)
+    # (n, P, K, 3)
     jslots = jnp.arange(K, dtype=jnp.int32)
     cmask4 = live[..., None] & (jslots < cnt[..., None])  # (n, P, K)
 
@@ -839,11 +877,19 @@ def query_p2pl(
     )
 
 
-def as_pointcloud(m: VoxelHashMap, capacity: int) -> PointCloud:
-    """Flatten live voxel contents into a PointCloud (for viz / serialization)."""
+def as_pointcloud(m: VoxelHashMap, capacity: int, anchor=None) -> PointCloud:
+    """Flatten live voxel contents into a PointCloud (for viz / serialization).
+
+    ``anchor`` (3,) f32 world position (e.g. the current robot pose) anchors
+    the pkey unwrap — required for correct absolute positions once the map
+    slides beyond ±1024 voxels of the origin in x/y (±64 in z)."""
     V, K = m.num_slots, m.K
+    if anchor is None:
+        avox = jnp.zeros(3, jnp.int32)
+    else:
+        avox = voxel_coords(jnp.asarray(anchor, jnp.float32)[None], m.voxel_size)[0]
     jmask = jnp.arange(K, dtype=jnp.int32)[None, :] < m.count[:, None]
     pc = PointCloud.from_xyz(
-        m.pts.reshape(V * K, 3), valid=jmask.reshape(V * K)
+        m.pts_near(avox).reshape(V * K, 3), valid=jmask.reshape(V * K)
     )
     return pc.compact(capacity)

@@ -61,7 +61,11 @@ MAP_SLOTS_MAX = 1 << 20
 
 
 def derive_capacities(
-    spec, xyz: np.ndarray, times: np.ndarray = None, with_budgets: bool = False
+    spec,
+    xyz: np.ndarray,
+    times: np.ndarray = None,
+    with_budgets: bool = False,
+    known_max_points: int = None,
 ):
     """Dry-run the spec's filter graph on the first scan (exact host
     arithmetic) and derive ``(raw_capacity, map_slots, layer_capacities)``
@@ -69,6 +73,13 @@ def derive_capacities(
     budgets sized from the MEASURED unique-voxel count (the fill-priority
     insert must cover every new voxel of a bring-up frame; see
     models/spec.py budget resolution).
+
+    ``known_max_points``: when the caller KNOWS the true maximum scan size
+    of the whole sequence (bench pre-generates every scan; dataset readers
+    can stat file sizes), the raw buffer is sized exactly to it — the 1.25x
+    raw margin exists only to guard against a partial first revolution, and
+    every raw-wide sort/gather pays ~1 ns/element for the padding (round-4
+    device profile: the margin alone cost ~0.9 ms of the 12.5 ms step).
     """
     from mola_lidar_odometry_tpu import oracle as O
 
@@ -108,7 +119,10 @@ def derive_capacities(
     # next power of two: pow2 rounding doubled the raw buffer on the bench
     # world and every raw-wide sort/gather paid for the padding (round-4
     # device profile: the two decimation sorts scale ~1 ns/element).
-    raw_capacity = _round_up(int(n * 1.25), RAW_QUANTUM)
+    if known_max_points is not None:
+        raw_capacity = _round_up(max(n, int(known_max_points)), RAW_QUANTUM)
+    else:
+        raw_capacity = _round_up(int(n * 1.25), RAW_QUANTUM)
     caps: Dict[str, int] = {"raw": raw_capacity}
     for name, c in layers.items():
         if name == "raw":

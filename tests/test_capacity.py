@@ -86,8 +86,11 @@ def test_capacity_sweep_saturates():
     col_big, worst_big = _run(1 << 18, traj, scans, n)  # 2x headroom
 
     # a starved table must REPORT its pressure (the round-1 gap: no signal),
-    # and pressure must fall monotonically as the table grows
-    assert col_tiny > col_def > col_big >= 0, (col_tiny, col_def, col_big)
+    # and pressure must fall monotonically as the table grows.  (Weak
+    # inequality on the upper rungs: the round-4 packed-point layout made
+    # every bucket row 4-way associative, which drives collision drops at
+    # the production default all the way to zero on this world.)
+    assert col_tiny > col_def >= col_big >= 0, (col_tiny, col_def, col_big)
     # accuracy has saturated at the production default (1<<17, what
     # bench.py ships): residual birthday-bound collisions there change
     # nothing measurable vs doubling the slots.  (The rough-ground world

@@ -44,10 +44,14 @@ class TestDecimate:
             lambda p: filters.decimate_voxels(p, 1.0, 4, table_size=1 << 12)
         )(pc)
         kept = np.asarray(out.xyz)[np.asarray(out.valid)]
-        # first point of voxel(0,0,0) is index 0; voxel(1,0,0) keeps index 2
+        # first point of voxel(0,0,0) is index 0; voxel(1,0,0) keeps index 2.
+        # Output order is slot order (round-4 scatter compaction), so
+        # compare as a set.
         assert kept.shape[0] == 2
-        np.testing.assert_allclose(kept[0], xyz[0])
-        np.testing.assert_allclose(kept[1], xyz[2])
+        kept = kept[np.lexsort(kept.T)]
+        expect = xyz[[0, 2]]
+        expect = expect[np.lexsort(expect.T)]
+        np.testing.assert_allclose(kept, expect)
 
     def test_min_input_passthrough(self):
         xyz = np.random.default_rng(0).uniform(0, 0.5, (8, 3)).astype(np.float32)

@@ -212,8 +212,9 @@ class TestQueryNn2:
         q = jnp.asarray([[0.0, 0.1, 0.1]], jnp.float32)
         nn2, d2, found = vh.query_nn2(m, q, jnp.ones(1, bool))
         assert bool(found[0, 0]) and bool(found[0, 1])
-        np.testing.assert_allclose(np.asarray(nn2[0, 0]), [0.1, 0.1, 0.1], atol=1e-6)
-        np.testing.assert_allclose(np.asarray(nn2[0, 1]), [0.4, 0.1, 0.1], atol=1e-6)
+        # stored points are quantized to voxel_size/1024 offset cells
+        np.testing.assert_allclose(np.asarray(nn2[0, 0]), [0.1, 0.1, 0.1], atol=6e-4)
+        np.testing.assert_allclose(np.asarray(nn2[0, 1]), [0.4, 0.1, 0.1], atol=6e-4)
         assert float(d2[0, 0]) <= float(d2[0, 1])
 
 

@@ -192,10 +192,11 @@ def test_ndt_family_parity():
 
 def test_lidar2d_family_parity():
     """SE(2)-pinned occupancy pipeline with a 2-pairing matcher
-    (lidar2d.yaml).  The TPU's sampled free-space rays vs the oracle's
-    per-beam exact walk is a documented deviation (ops/occupancy.py:12-19);
-    it only moves border voxels between occupied/free, which the gate
-    absorbs."""
+    (lidar2d.yaml).  Since round 4 the TPU engine walks free-space rays
+    with the exact Amanatides-Woo DDA and rebuilds the match index from
+    the live occupied set per insert — the same semantics as the oracle's
+    per-beam walk, so this gate now sees (rather than shares) any
+    free-space carving difference."""
     pipeline = os.path.join(os.path.dirname(PIPELINE), "lidar2d.yaml")
     overrides = dict(
         raw_capacity=1 << 11,

@@ -57,7 +57,8 @@ def test_nn_select_matches_xla_path():
 
 def test_capture_planar_matches_xla_capture():
     """The fused capture kernel (interpret mode) must reproduce the XLA
-    top-2-per-voxel capture on the round-3 (V/2, 128) i32 table layout."""
+    top-2-per-voxel capture on the round-4 packed (rows, 128) i32 table
+    layout (quantized point lanes, W = 128 // stride ways per bucket)."""
     from mola_lidar_odometry_tpu.ops import pallas_capture as pc
 
     rng = np.random.default_rng(2)
@@ -65,14 +66,15 @@ def test_capture_planar_matches_xla_capture():
     m = vh.insert(
         vh.VoxelHashMap.create(1 << 10, 20, 1.0), PointCloud.from_xyz(jnp.asarray(pts))
     )
-    assert m.stride == 64
+    assert m.stride == 32  # K=20 packed points -> 4-way buckets
     n = 24
     q = jnp.asarray(rng.uniform(-6, 6, (n, 3)).astype(np.float32))
 
     for nbr in (8, 27):
         ref = vh.capture(m, q, nbr, per_voxel_nn=True)  # (n, 2P, 3) + mask
         cx, cy, cz, cm = pc.capture_planar(
-            m.data, m.voxel_size, m.epoch, q, nbr, interpret=True, tile_q=128, K=m.K
+            m.data, m.voxel_size, m.epoch, q, nbr, interpret=True, tile_q=128,
+            K=m.K, stride=m.stride,
         )
         # planar layout: (2P, npad) candidate planes, query-major lanes
         got = np.stack(

@@ -16,6 +16,17 @@ def cloud(xyz):
     return PointCloud.from_xyz(jnp.asarray(xyz, jnp.float32))
 
 
+def qz(xyz, voxel_size):
+    """Expected stored value under the round-4 packed-point storage: the
+    10|10|10 within-voxel quantization round-trip (pack->unpack, the exact
+    device op order), as a numpy (n, 3) f32 array."""
+    from mola_lidar_odometry_tpu.ops.voxel_hash import pack_points, unpack_points
+
+    p = jnp.asarray(np.asarray(xyz, np.float32).reshape(-1, 3))
+    c = vh.voxel_coords(p, voxel_size)
+    return np.asarray(unpack_points(pack_points(p, c, voxel_size), c, voxel_size))
+
+
 def test_insert_and_counts():
     m = vh.VoxelHashMap.create(1 << 12, 4, 1.0)
     xyz = np.array(
@@ -62,7 +73,10 @@ def test_negative_coords_roundtrip():
     assert int(m.num_voxels()) == 2
     nn, d2, found = vh.query_nn(m, jnp.asarray(pts), jnp.ones(2, bool))
     assert bool(found.all())
-    np.testing.assert_allclose(np.asarray(d2), 0.0, atol=1e-10)
+    # stored points are quantized (<= voxel_size/2048 per axis), so the
+    # self-query distance is bounded by 3 * (vs/2048)^2, not exactly zero
+    np.testing.assert_allclose(np.asarray(d2), 0.0, atol=3 * (0.5 / 2048) ** 2)
+    np.testing.assert_allclose(np.asarray(nn), qz(pts, 0.5), atol=1e-7)
 
 
 def test_query_nn_vs_bruteforce():
@@ -102,7 +116,7 @@ def test_as_pointcloud():
     m = vh.insert(m, cloud(xyz))
     pc = vh.as_pointcloud(m, 16)
     got = np.sort(np.asarray(pc.xyz)[np.asarray(pc.valid)], axis=0)
-    np.testing.assert_allclose(got, np.sort(xyz, axis=0), atol=1e-6)
+    np.testing.assert_allclose(got, np.sort(qz(xyz, 1.0), axis=0), atol=1e-7)
 
 
 def test_vmap_batch_of_maps():
@@ -158,6 +172,7 @@ class TestInsertDifferentialFuzz:
         import jax.numpy as jnp
 
         buckets = np.asarray(vhash(jnp.asarray(coords), NB))
+        qpts = qz(pts, 1.0)  # what the device stores (quantized round-trip)
         drops = 0
         # group points per voxel in first-come order
         order = {}
@@ -191,7 +206,9 @@ class TestInsertDifferentialFuzz:
                 stored = bucket_model[owner_way][1]
                 for i in idxs:
                     if len(stored) < K:
-                        stored.append(tuple(np.round(pts[i], 5)))
+                        # model stores what the device stores: the
+                        # quantization round-trip of the point
+                        stored.append(tuple(np.round(qpts[i], 5)))
                     # beyond K: full drop (not counted here)
         return drops
 
@@ -269,7 +286,7 @@ class TestInsertBudget:
         stream_pos = np.empty(len(pts), np.int64)
         stream_pos[order] = np.arange(len(pts))
         prio = np.lexsort((stream_pos, dest))
-        expect = {tuple(np.round(pts[i], 5)) for i in prio[:C]}
+        expect = {tuple(np.round(p, 5)) for p in qz(pts, 1.0)[prio[:C]]}
         m, st = vh.insert_stats(m0, cloud(pts), budget=C)
         assert int(st.deferred_drops) == 300 - C
         assert self._stored_set(m) == expect
