@@ -110,24 +110,38 @@ def decimate_voxels(
         )
         passthrough = pc.count() < min_input_points
         winner = jnp.where(passthrough, skey < T, first)
-        # compact winners to the front via prefix-sum + one flat scatter
-        # (~0.9 ms vs ~1.5 ms for top_k at 131k x B=8, round-4 device
-        # profile: scatters are ~6 ns/static-element with no floor).  The
-        # output order is SLOT order, not input order — every consumer
-        # (matcher capture, GN solver, map insert) is order-free: the
-        # winner SET is identical, map voxels store the same point sets,
-        # and the float64 oracle gates bound the residual f32
+        # compact winners to the front with a SECOND, single-operand sort:
+        # the loser flag rides above a position field in ONE i32 key
+        # (winner order — already slot-grouped — is kept because position
+        # ties break nothing).  Round-4 device A/B at 131k x B=8:
+        # 2-operand stable sort 1.26 ms, top_k 1.49 ms, cumsum+flat-scatter
+        # 4.8 ms (the scatter's ~6 ns/static-element is paid on the
+        # raw-sized index array, so "no floor" loses to sorts here); the
+        # combined-key 1-operand form is the cheapest — comparator width
+        # is the true sort cost.  The output order is SLOT order, not
+        # input order — every
+        # consumer (matcher capture, GN solver, map insert) is order-free:
+        # the winner SET is identical, map voxels store the same point
+        # sets, and the float64 oracle gates bound the residual f32
         # reassociation effect.  Winners beyond out_capacity are dropped
         # (same truncation contract as before; the saturation watchdog in
         # models/odometry.py still sees the layer fill).
-        dest = jnp.cumsum(winner.astype(jnp.int32)) - 1
-        # drop sentinel must be >= out_capacity (n alone is not when the
-        # output buffer is larger than the input)
-        dest = jnp.where(winner, dest, jnp.int32(out_capacity))
-        out_idx = BM.scatter_set_unique(
-            jnp.full((out_capacity,), n, jnp.int32), dest, sidx
+        shift = max(1, (n - 1).bit_length())
+        k2 = jnp.where(winner, 0, jnp.int32(1) << shift) | jnp.arange(
+            n, dtype=jnp.int32
         )
-        valid_out = out_idx < n
+        (k2s,) = jax.lax.sort([k2], num_keys=1)
+        sel = k2s & ((jnp.int32(1) << shift) - 1)
+        nw = jnp.sum(winner.astype(jnp.int32))
+        if out_capacity <= n:
+            sel = sel[:out_capacity]
+        else:
+            sel = jnp.pad(sel, (0, out_capacity - n))
+        # flat 1D gather via the custom_vmap rewrite: a plain sidx[sel]
+        # under the batch vmap lowers to the slow batched-gather variant
+        # (0.75 ms at B=8 for 94k elements vs ~0.1 flat, round-4 trace)
+        out_idx = BM.gather_rows(sidx, sel)
+        valid_out = jnp.arange(out_capacity, dtype=jnp.int32) < nw
         packed = jnp.concatenate(
             [
                 pc.xyz,

@@ -298,7 +298,7 @@ def _align_fused_call(cfg, maps, layers, init_pose, prior, env, budget) -> IcpRe
             q = se3.transform(pose, xyz)  # identical to _capture_all's q
             return pallas_capture.capture_planar(
                 m0.data, m0.voxel_size, m0.epoch, q, nbr,
-                interpret=interpret, K=m0.K, stride=m0.stride,
+                interpret=interpret, K=m0.K, stride=m0.stride, valid=valid,
             )
         cfg_n = (
             cfg
@@ -361,7 +361,20 @@ def _align_fused_call(cfg, maps, layers, init_pose, prior, env, budget) -> IcpRe
             hook_ref_t=init_pose.t,
         )
 
-    cs0 = capture_at(init_pose, cfg.nn_neighbors)
+    # Phase-1 probe footprint: candidates feed only the COARSE leg (the
+    # first _FUSED_REFRESH_AT robust-GN iterations, annealing from 2*sigma);
+    # the phase-2 refresh re-captures the full footprint at the settled
+    # pose.  A containing-voxel-only (1-probe) phase-1 was A/B'd on device
+    # (round 4): +11% throughput (674 vs 606 scans/s/chip at B=8) but the
+    # coarse leg loses cross-voxel-face NNs at KITTI speeds and the single
+    # refresh cannot absorb the bias (bench GT drift 0.345 vs 0.221, guard
+    # ceiling 0.25) — so the default stays the full footprint.
+    # MOLA_TPU_PHASE1_NEIGHBORS=1 re-enables the fast variant for A/B.
+    phase1_nbr = min(
+        cfg.nn_neighbors,
+        int(_os.environ.get("MOLA_TPU_PHASE1_NEIGHBORS", "8")),
+    )
+    cs0 = capture_at(init_pose, phase1_nbr)
     b1 = jnp.minimum(budget, _FUSED_REFRESH_AT)
     R1, t1, it1, hook1, conv1, q1 = run(cs0, init_pose, jnp.int32(0), b1)
     pose1 = Pose(R1, t1)

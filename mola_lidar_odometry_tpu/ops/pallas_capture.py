@@ -180,6 +180,7 @@ def capture_planar(
     tile_q: int = 256,
     K: int = 20,
     stride: int = 32,
+    valid: jax.Array | None = None,  # (N,) bool — see spread-pad note below
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused capture: returns planar candidates ``(cx, cy, cz, cm)``, each
     ``(2P, npad)`` f32 — exactly the layout ops/pallas_icp.align_fused keeps
@@ -200,6 +201,20 @@ def capture_planar(
     cand = neighbor_coords(q, base, voxel_size, neighbors)  # (npad, P, 3)
     P = cand.shape[1]
     buckets = voxel_hash(cand, NB)  # (npad, P)
+    # Spread-pad: INVALID queries (dead layer slots + the npad tail) are
+    # all-zero points, so every one of them probes the SAME 8 rows around
+    # voxel (0,0,0) — and duplicated gather rows are measurably SLOWER
+    # than unique ones on this hardware (eval/micro_gather.py: 50% dups
+    # 15.2 ms vs 11.9 ms at 880k rows).  Route them to consecutive
+    # (iota) rows instead; their candidate mask is zeroed below so the
+    # spread rows never produce a pairing.
+    if valid is not None:
+        vmask = jnp.pad(valid.astype(bool), (0, npad - n))
+        spread = (
+            jnp.arange(npad, dtype=jnp.int32)[:, None] * P
+            + jnp.arange(P, dtype=jnp.int32)[None]
+        ) % jnp.int32(NB)
+        buckets = jnp.where(vmask[:, None], buckets, spread)
     buckets_pm = jnp.swapaxes(buckets, 0, 1)  # (P, npad) probe-major
     # probe-major gather: rows arrive grouped by p, queries contiguous
     g = BM.gather_rows(data, buckets_pm.reshape(-1)).reshape(P, npad, 128)
@@ -233,4 +248,7 @@ def capture_planar(
     cy = jnp.concatenate([out[1], out[5]], axis=0)
     cz = jnp.concatenate([out[2], out[6]], axis=0)
     cm = jnp.concatenate([out[3], out[7]], axis=0)
+    if valid is not None:
+        # spread-pad rows must never pair (see note above)
+        cm = cm * vmask[None].astype(cm.dtype)
     return cx, cy, cz, cm

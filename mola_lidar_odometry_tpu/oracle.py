@@ -29,6 +29,7 @@ per-pose gate (0.1 SE(3) log-norm, test/test_lidar_odometry_rawlog.cpp:
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -702,13 +703,25 @@ class OracleOdometry:
     # -- one robust GN update on exact pairing blocks ------------------------
     # blocks: list of (kind, p_loc (N,3), q (N,3), nrm (N,3)|None, w_layer)
     def _gn_step(self, R, t, blocks, kernel_c, prior: NavEstimate):
-        H = np.zeros((6, 6))
-        b = np.zeros(6)
+        # MOLA_ORACLE_SOLVER_F32=1: degrade ONLY the normal-equation
+        # assembly + solve to float32 (divergence attribution study —
+        # compares against the default f64 oracle to isolate how much of
+        # the TPU-vs-oracle gap on a config is solver cancellation vs
+        # pairing/capture differences).  Never set in the parity gates.
+        dt = np.float32 if os.environ.get("MOLA_ORACLE_SOLVER_F32") == "1" else np.float64
+        H = np.zeros((6, 6), dt)
+        b = np.zeros(6, dt)
         c2 = kernel_c * kernel_c
+        blocks = [
+            (k, np.asarray(p, dt), np.asarray(q, dt),
+             None if n is None else np.asarray(n, dt), w)
+            for k, p, q, n, w in blocks
+        ]
+        R_s, t_s = np.asarray(R, dt), np.asarray(t, dt)
         for kind, p_loc, q_map, nrm, w_layer in blocks:
             if len(p_loc) == 0:
                 continue
-            tp = p_loc @ R.T + t
+            tp = (p_loc @ R_s.T + t_s).astype(dt)
             K = np.zeros((len(tp), 3, 3))
             K[:, 0, 1], K[:, 0, 2] = -tp[:, 2], tp[:, 1]
             K[:, 1, 0], K[:, 1, 2] = tp[:, 2], -tp[:, 0]
