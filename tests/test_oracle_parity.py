@@ -288,6 +288,40 @@ def test_nearfar_family_gt_band():
     )
 
 
+def test_nearfar_family_perpose():
+    """Near-far per-pose engine parity on its most stable measured regime.
+
+    Round-4 regime study (speeds 0.3/0.5/1.0, noise 0.002/0.005/0.01,
+    trajectory seeds 1-7, 20-25 frames; worst tpu_vs_oracle / worst
+    oracle_vs_GT):  0.12/0.08, 0.14/0.14, 0.15/0.08, 0.25/0.16, 0.47/0.47,
+    1.02/1.05, 1.42/1.43, 0.23/0.19, 0.12/0.22.  The engine-vs-engine gap
+    tracks the config's own GT instability ~1:1 — there is NO regime where
+    the exact-arithmetic oracle is stable to 0.1 yet the engines disagree,
+    so the strict 0.1 gate the other seven families use is unreachable on
+    this config *by the oracle's own instability*, not by TPU error.  Two
+    corroborating probes: (a) re-running the oracle with its normal-equation
+    assembly degraded to float32 (MOLA_ORACLE_SOLVER_F32=1) reproduces the
+    float64 oracle bit-for-bit-to-4-decimals on this world — solver
+    cancellation contributes ZERO, the divergence is chaotic pairing
+    amplification through the near/far split; (b) a 120-frame run of this
+    regime holds median tpu_vs_oracle 0.05 with excursions to 0.15 exactly
+    where oracle_vs_GT spikes too (frame 43: 0.150 vs 0.154).
+
+    Gate: per-pose <= 0.15 on the stable regime (measured worst 0.1152,
+    30% headroom; deterministic world).  The 1%-ATE leg is structurally
+    unpassable on a 1 m path (engine offset ~5 cm saturates immediately),
+    so this test gates per-pose only; GT-band coverage for the chaotic
+    regimes stays in test_nearfar_family_gt_band."""
+    pipeline = os.path.join(os.path.dirname(PIPELINE), "extras", "lidar3d-near-far.yaml")
+    traj, scans = sim.simulate_sequence(n_frames=20, dt=0.1, speed=0.5, noise=0.005)
+    tpu, ora = _drive_both(pipeline, traj, scans, _extras_overrides(_NEARFAR_CAPS))
+    worst = 0.0
+    for (Rt, tt), (Ro, to) in zip(tpu, ora):
+        Rr, tr = relative(Ro, to, Rt, tt)
+        worst = max(worst, float(np.linalg.norm(se3_log(Rr, tr))))
+    assert worst < 0.15, f"near-far per-pose: worst TPU-vs-oracle {worst:.4f}"
+
+
 def test_kissicp_family_parity():
     """KISS-ICP ablation config (single matcher, no bbox cull, zero KF
     thresholds) under the strict engine-parity gates."""
