@@ -433,10 +433,18 @@ def insert_stats(
     bucket = voxel_hash(coords, NB)  # (n,)
     pkey = pack_key(coords)
 
-    # ONE sort: (bucket | NB-for-invalid, pkey, input idx) lexicographic
+    # ONE sort: (bucket | NB-for-invalid, pkey, input idx) lexicographic.
+    # The 10|10|10-quantized point word is packed BEFORE the sort and rides
+    # as a value operand — value lanes permute without widening the
+    # comparator, and carrying the word kills the post-sort (n,3) xyz
+    # gather (a ~94k-row, ~1 ms line in the round-4 device profile; rows
+    # are the cost, width is free).
     sort_key = jnp.where(pc.valid, bucket, jnp.int32(NB))
     pos = jnp.arange(n, dtype=jnp.int32)
-    sb, spk, sidx = jax.lax.sort([sort_key, pkey, pos], num_keys=3)
+    packed_pre = pack_points(pc.xyz, coords, m.voxel_size)
+    sb, spk, sidx, s_packed = jax.lax.sort(
+        [sort_key, pkey, pos, packed_pre], num_keys=3
+    )
     s_valid = sb < NB
     s_bucket = jnp.where(s_valid, sb, 0)
 
@@ -480,12 +488,13 @@ def insert_stats(
     accept = any_match | claim_ok
     way = jnp.where(any_match, exist_way, claim_way)
     cnt_at = jnp.where(any_match, cnt_exist, 0)
-    s_xyz = BM.gather_rows(pc.xyz, sidx)  # (n, 3) hot narrow gather
-    # voxel coords in the sorted domain (bit-identical recompute beats a
-    # 3-wide gather of the pre-sort coords)
-    s_coords = voxel_coords(s_xyz, m.voxel_size)
 
     if min_distance > 0:
+        # the rejection test needs full-precision positions + voxel coords
+        # in the sorted domain; this gather is paid ONLY by configs that
+        # set min_distance_between_points > 0 (no shipped default does)
+        s_xyz = BM.gather_rows(pc.xyz, sidx)  # (n, 3) hot narrow gather
+        s_coords = voxel_coords(s_xyz, m.voxel_size)
         # ``min_distance_between_points`` (reference insertOpts,
         # pipelines/lidar3d-default.yaml:236): reject a point closer than
         # this to any point ALREADY STORED in its voxel.  The stored points
@@ -566,7 +575,7 @@ def insert_stats(
 
     oob = jnp.int32(m.data.shape[-2] * 128)
     p_base = (s_bucket * W + way) * s
-    packed = pack_points(s_xyz, s_coords, m.voxel_size)
+    packed = s_packed  # quantized pre-sort, permuted by the sort
     # flat element indices (the (rows,128) -> flat reshape is layout-exact
     # for 128-lane rows — no materializing layout round-trip)
     idx = jnp.stack(
