@@ -54,7 +54,10 @@ def main() -> int:
         os.path.dirname(os.path.abspath(__file__)), "..", "pipelines", "lidar3d-default.yaml"))
     ap.add_argument("--raw-capacity", type=int, default=0,
                     help="0 = next power of two >= rings*azimuth")
-    ap.add_argument("--map-slots", type=int, default=1 << 17)
+    ap.add_argument("--map-slots", type=int, default=0,
+                    help="0 = auto (derive ALL capacities + budgets from the "
+                    "first scan via utils/capacity.py); >0 = legacy manual "
+                    "sizing with this map table size")
     args = ap.parse_args()
 
     n_scan = args.rings * args.azimuth
@@ -82,20 +85,6 @@ def main() -> int:
     from mola_lidar_odometry_tpu.utils.config import load_yaml_file
 
     cfg = load_yaml_file(args.pipeline, env={})
-    spec = spec_from_yaml(
-        cfg,
-        raw_capacity=args.raw_capacity,
-        map_slots=args.map_slots,
-        layer_capacities={
-            # scale with the input size so large fleets fit in HBM (the
-            # capture-once candidate cache is B x icp_cap x P*K x 3 floats)
-            "raw": args.raw_capacity,
-            "decimated_for_map_raw": min(1 << 15, args.raw_capacity),
-            "decimated_for_icp_skewed": min(1 << 13, max(1024, args.raw_capacity // 4)),
-            "decimated_for_icp": min(1 << 13, max(1024, args.raw_capacity // 4)),
-            "decimated_for_map": min(1 << 15, args.raw_capacity),
-        },
-    )
 
     B, F = args.batch, args.frames
     import pickle
@@ -118,6 +107,45 @@ def main() -> int:
             stacks.append(scans)
         with open(cache, "wb") as f:
             pickle.dump((trajs, stacks), f)
+
+    if args.map_slots > 0:
+        # explicit manual sizing (legacy behavior, kept for A/B)
+        spec = spec_from_yaml(
+            cfg,
+            raw_capacity=args.raw_capacity,
+            map_slots=args.map_slots,
+            layer_capacities={
+                "raw": args.raw_capacity,
+                "decimated_for_map_raw": min(1 << 15, args.raw_capacity),
+                "decimated_for_icp_skewed": min(1 << 13, max(1024, args.raw_capacity // 4)),
+                "decimated_for_icp": min(1 << 13, max(1024, args.raw_capacity // 4)),
+                "decimated_for_map": min(1 << 15, args.raw_capacity),
+            },
+        )
+    else:
+        # auto: derive every capacity + budget from the first scan, exactly
+        # like bench.py / a production LidarOdometry with auto_capacity.
+        # Round-4 finding: the old hand sizing kept map_slots=1<<17 per
+        # instance regardless of scan size — at 32k-pt scans the map table
+        # ops (slab prune, eviction sweep) scale with TABLE size, not scan
+        # size, so small-scan fleets paid headline-sized table costs.
+        from mola_lidar_odometry_tpu.utils.capacity import derive_capacities
+
+        spec0 = spec_from_yaml(cfg)
+        x0, t0, _, v0 = stacks[0][0]
+        max_pts = max(int(s[3].sum()) for st in stacks for s in st)
+        raw_cap, map_slots, caps, budgets = derive_capacities(
+            spec0, x0[v0], t0[v0], with_budgets=True, known_max_points=max_pts
+        )
+        print(
+            f"sizing: auto raw={raw_cap} slots={map_slots} layers={caps} "
+            f"budgets={budgets}",
+            file=sys.stderr,
+        )
+        spec = spec_from_yaml(
+            cfg, raw_capacity=raw_cap, map_slots=map_slots,
+            layer_capacities=caps, insert_budgets=budgets,
+        )
 
     per_step = [
         pb.pack_scans(
@@ -143,10 +171,14 @@ def main() -> int:
     jax.block_until_ready(ts)
     t_compile = time.time() - t0
 
-    t0 = time.time()
-    _, (Rs, ts, q, acc) = run(pb.init_fleet_carry(spec, B), seq)
-    jax.block_until_ready(ts)
-    dt = time.time() - t0
+    dt = float("inf")
+    for _ in range(3):
+        carry_r = pb.init_fleet_carry(spec, B)
+        jax.block_until_ready(carry_r)
+        t0 = time.time()
+        _, (Rs, ts, q, acc) = run(carry_r, seq)
+        jax.block_until_ready(ts)
+        dt = min(dt, time.time() - t0)
 
     # gauge-aligned ATE-RMSE per instance
     Rs, ts = np.asarray(Rs), np.asarray(ts)  # (F, B, 3, 3), (F, B, 3)

@@ -32,6 +32,12 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--out", default="/tmp/mola_trace")
+    ap.add_argument(
+        "--hlo", default="",
+        help="also write the optimized HLO of the profiled step here — "
+        "instruction names match the profile rows exactly (same executable), "
+        "so unattributed fusions can be resolved by shape/opcode",
+    )
     args = ap.parse_args()
 
     import jax
@@ -63,6 +69,12 @@ def main():
     packed = [
         pb.pack_scans(spec, [s] * B, [stamps[k]] * B) for k, s in enumerate(scans)
     ]
+    if args.hlo:
+        txt = fstep.lower(carry, packed[0]).compile().as_text()
+        with open(args.hlo, "w") as f:
+            f.write(txt)
+        print(f"optimized HLO -> {args.hlo} ({len(txt)} bytes)", file=sys.stderr)
+
     # warm up into steady state (map built, tracking converged)
     warm = 10
     for k in range(warm):

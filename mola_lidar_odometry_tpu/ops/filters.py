@@ -111,36 +111,30 @@ def decimate_voxels(
         passthrough = pc.count() < min_input_points
         winner = jnp.where(passthrough, skey < T, first)
         # compact winners to the front with a SECOND, single-operand sort:
-        # the loser flag rides above a position field in ONE i32 key
-        # (winner order — already slot-grouped — is kept because position
-        # ties break nothing).  Round-4 device A/B at 131k x B=8:
-        # 2-operand stable sort 1.26 ms, top_k 1.49 ms, cumsum+flat-scatter
-        # 4.8 ms (the scatter's ~6 ns/static-element is paid on the
-        # raw-sized index array, so "no floor" loses to sorts here); the
-        # combined-key 1-operand form is the cheapest — comparator width
-        # is the true sort cost.  The output order is SLOT order, not
-        # input order — every
-        # consumer (matcher capture, GN solver, map insert) is order-free:
-        # the winner SET is identical, map voxels store the same point
-        # sets, and the float64 oracle gates bound the residual f32
-        # reassociation effect.  Winners beyond out_capacity are dropped
-        # (same truncation contract as before; the saturation watchdog in
+        # the loser flag rides above the winner's ORIGINAL INPUT INDEX in
+        # ONE i32 key, so ascending order emits winners in INPUT order and
+        # the key's low bits ARE the output indices (no gather).  Input
+        # order is load-bearing, not cosmetic: decimation CASCADES
+        # (decimated_for_icp re-decimates decimated_for_map's output), and
+        # FirstPoint at the next stage keeps the first point per coarse
+        # voxel in *input* order — a slot-ordered stage-1 output changes
+        # which representative wins stage 2, which diverges from the
+        # reference/oracle semantics (round-4 NDT parity failure: worst
+        # 0.206 vs the 0.1 gate, bisected to exactly this).  Round-4
+        # device A/B at 131k x B=8: this 1-operand sort 0.90 ms,
+        # 2-operand stable sort 1.26 ms, top_k 1.49 ms, cumsum+flat-
+        # scatter 4.8 ms.  Winners beyond out_capacity are dropped (same
+        # truncation contract as before; the saturation watchdog in
         # models/odometry.py still sees the layer fill).
         shift = max(1, (n - 1).bit_length())
-        k2 = jnp.where(winner, 0, jnp.int32(1) << shift) | jnp.arange(
-            n, dtype=jnp.int32
-        )
+        k2 = jnp.where(winner, 0, jnp.int32(1) << shift) | sidx
         (k2s,) = jax.lax.sort([k2], num_keys=1)
         sel = k2s & ((jnp.int32(1) << shift) - 1)
         nw = jnp.sum(winner.astype(jnp.int32))
         if out_capacity <= n:
-            sel = sel[:out_capacity]
+            out_idx = sel[:out_capacity]
         else:
-            sel = jnp.pad(sel, (0, out_capacity - n))
-        # flat 1D gather via the custom_vmap rewrite: a plain sidx[sel]
-        # under the batch vmap lowers to the slow batched-gather variant
-        # (0.75 ms at B=8 for 94k elements vs ~0.1 flat, round-4 trace)
-        out_idx = BM.gather_rows(sidx, sel)
+            out_idx = jnp.pad(sel, (0, out_capacity - n))
         valid_out = jnp.arange(out_capacity, dtype=jnp.int32) < nw
         packed = jnp.concatenate(
             [
