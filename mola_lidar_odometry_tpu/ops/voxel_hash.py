@@ -186,9 +186,22 @@ def neighbor_coords(queries: jax.Array, base: jax.Array, voxel_size, neighbors: 
         step = jnp.where(frac >= 0, 1, -1).astype(jnp.int32)  # (N, 3)
         corners = jnp.asarray(_CORNERS8, jnp.int32)  # (8, 3)
         return base[:, None, :] + corners[None] * step[:, None, :]
+    if neighbors == 4:
+        # containing voxel + the 3 single-axis FACE neighbors on the side
+        # of the voxel center the query falls.  Covers every NN reachable
+        # across a voxel face (the dominant cross-voxel case); misses only
+        # edge/corner-diagonal NNs, so this footprint is meant for the
+        # phase-1 coarse leg of the fused align (the phase-2 refresh
+        # re-captures the full 2x2x2 block at the settled pose).
+        frac = queries / voxel_size - (base.astype(jnp.float32) + 0.5)
+        step = jnp.where(frac >= 0, 1, -1).astype(jnp.int32)  # (N, 3)
+        faces = jnp.asarray(
+            [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1)], jnp.int32
+        )  # (4, 3)
+        return base[:, None, :] + faces[None] * step[:, None, :]
     if neighbors == 1:
         return base[:, None, :]
-    raise ValueError(f"neighbors must be 1, 8 or 27, got {neighbors}")
+    raise ValueError(f"neighbors must be 1, 4, 8 or 27, got {neighbors}")
 
 
 @jax.tree_util.register_pytree_node_class
