@@ -384,8 +384,14 @@ def _align_fused_call(cfg, maps, layers, init_pose, prior, env, budget) -> IcpRe
     # annealed threshold is small by iteration >= _FUSED_REFRESH_AT, so the
     # half-voxel-exact 8-probe footprint loses nothing — and the (N*P)-row
     # gather (the single most expensive instruction of the whole scan step)
-    # shrinks 3.4x on the refresh leg.
-    refresh_nbr = min(cfg.nn_neighbors, 8)
+    # shrinks 3.4x on the refresh leg.  MOLA_TPU_REFRESH_NEIGHBORS narrows
+    # the refresh footprint further (4 = containing + face neighbors, 1 =
+    # containing voxel only) for device A/B: the gather is row-count-bound,
+    # so the refresh leg's cost scales directly with this.
+    refresh_nbr = min(
+        cfg.nn_neighbors,
+        int(_os.environ.get("MOLA_TPU_REFRESH_NEIGHBORS", "8")),
+    )
 
     def phase2(_):
         cs1 = capture_at(pose1, refresh_nbr)

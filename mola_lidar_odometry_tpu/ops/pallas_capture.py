@@ -77,7 +77,7 @@ def _make_kernel(K: int, P: int, TQ: int, neighbors: int, stride: int):
         bx = jnp.floor(qx * inv_vs)
         by = jnp.floor(qy * inv_vs)
         bz = jnp.floor(qz * inv_vs)
-        if neighbors == 8:
+        if neighbors in (4, 8):
             sx = jnp.where(qx * inv_vs - (bx + 0.5) >= 0, 1.0, -1.0)
             sy = jnp.where(qy * inv_vs - (by + 0.5) >= 0, 1.0, -1.0)
             sz = jnp.where(qz * inv_vs - (bz + 0.5) >= 0, 1.0, -1.0)
@@ -99,6 +99,12 @@ def _make_kernel(K: int, P: int, TQ: int, neighbors: int, stride: int):
                 ex = bx + float(p // 4) * sx
                 ey = by + float((p // 2) % 2) * sy
                 ez = bz + float(p % 2) * sz
+            elif neighbors == 4:
+                # containing voxel + 3 single-axis face neighbors on the
+                # query's side (voxel_hash.neighbor_coords neighbors==4)
+                ex = bx + float(p == 1) * sx
+                ey = by + float(p == 2) * sy
+                ez = bz + float(p == 3) * sz
             elif neighbors == 1:
                 ex, ey, ez = bx, by, bz
             else:  # pragma: no cover - guarded by the wrapper

@@ -459,7 +459,13 @@ def insert_stats(
         [sort_key, pkey, pos, packed_pre], num_keys=3
     )
     s_valid = sb < NB
-    s_bucket = jnp.where(s_valid, sb, 0)
+    # Spread-pad the INVALID tail (sorted past the valid prefix): routing
+    # every dead point to row 0 makes the bucket gather re-read one row
+    # thousands of times, and duplicated gather rows are measurably slower
+    # than unique ones (eval/micro_gather.py; same fix as the capture
+    # spread-pad).  Consecutive iota rows keep the gather all-unique; all
+    # downstream matching/claiming is already gated on ``s_valid``.
+    s_bucket = jnp.where(s_valid, sb, pos % jnp.int32(NB))
 
     # bucket rows gathered in the SORTED domain: all W ways per point
     g = _gather_buckets(m, s_bucket)  # (n, W*s)

@@ -23,6 +23,7 @@ models/odometry.py when drops exceed 0.1% of inserts.
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict, Tuple
 
 import numpy as np
@@ -53,9 +54,12 @@ RAW_QUANTUM = 8192
 # eviction, and a voxel drops when BOTH ways of its 2-way bucket are taken
 # (ops/voxel_hash.py).  Measured on a dense non-bench world (10 frames,
 # 140-box clutter): factor 8 -> 0.28% of inserts dropped, 16 -> 0.086%,
-# 32 -> 0.009%.  32 holds the <0.1% budget with ~10x margin at trivial
-# memory (V = 64k slots = 17 MB for a 2k-voxel first scan).
-MAP_SLOTS_FACTOR = 32
+# 32 -> 0.009%.  32 holds the <0.1% budget with ~10x margin — but table
+# BYTES are not free: random-row gathers (the step's dominant cost) run
+# ~5 ns/row on a hot ~33 MB working set vs ~13.5 ns on a cold ~268 MB one
+# (eval/micro_gather.py), so an oversized table slows every capture.
+# MOLA_MAP_SLOTS_FACTOR overrides for device A/B.
+MAP_SLOTS_FACTOR = int(os.environ.get("MOLA_MAP_SLOTS_FACTOR", "32"))
 MAP_SLOTS_MIN = 1 << 12
 MAP_SLOTS_MAX = 1 << 20
 

@@ -70,7 +70,7 @@ def test_capture_planar_matches_xla_capture():
     n = 24
     q = jnp.asarray(rng.uniform(-6, 6, (n, 3)).astype(np.float32))
 
-    for nbr in (8, 27):
+    for nbr in (4, 8, 27):
         ref = vh.capture(m, q, nbr, per_voxel_nn=True)  # (n, 2P, 3) + mask
         cx, cy, cz, cm = pc.capture_planar(
             m.data, m.voxel_size, m.epoch, q, nbr, interpret=True, tile_q=128,
