@@ -379,18 +379,23 @@ def _align_fused_call(cfg, maps, layers, init_pose, prior, env, budget) -> IcpRe
     R1, t1, it1, hook1, conv1, q1 = run(cs0, init_pose, jnp.int32(0), b1)
     pose1 = Pose(R1, t1)
 
-    # The refresh capture probes only the 2x2x2 corner block: phase 2 starts
+    # The refresh capture narrows to the 4-probe footprint (containing voxel
+    # + the 3 face neighbors on the query's octant side): phase 2 starts
     # within the hook bound (<= ~0.15 m) of the settled pose and the
     # annealed threshold is small by iteration >= _FUSED_REFRESH_AT, so the
-    # half-voxel-exact 8-probe footprint loses nothing — and the (N*P)-row
-    # gather (the single most expensive instruction of the whole scan step)
-    # shrinks 3.4x on the refresh leg.  MOLA_TPU_REFRESH_NEIGHBORS narrows
-    # the refresh footprint further (4 = containing + face neighbors, 1 =
-    # containing voxel only) for device A/B: the gather is row-count-bound,
-    # so the refresh leg's cost scales directly with this.
+    # near-field footprint loses almost nothing — and the (N*P)-row gather
+    # (the single most expensive instruction of the whole scan step) is
+    # row-count-bound, so the refresh leg's cost halves vs 8-probe.  Device
+    # A/B (B=8, 131k pts): 8-probe 731.5 scans/s GT 0.137, 4-probe 784.7
+    # GT 0.143 (guard 0.20), 1-probe 852.7 GT 0.189 (rejected — accuracy).
+    # The narrowing applies ONLY to the dense 8-probe default; 27-probe
+    # configs keep their full footprint on the refresh (their voxel size
+    # regime is exactly where cross-voxel NNs matter).
+    # MOLA_TPU_REFRESH_NEIGHBORS overrides for device A/B.
+    _refresh_default = 4 if cfg.nn_neighbors == 8 else 8
     refresh_nbr = min(
         cfg.nn_neighbors,
-        int(_os.environ.get("MOLA_TPU_REFRESH_NEIGHBORS", "8")),
+        int(_os.environ.get("MOLA_TPU_REFRESH_NEIGHBORS", str(_refresh_default))),
     )
 
     def phase2(_):
@@ -411,7 +416,15 @@ def _align_fused_call(cfg, maps, layers, init_pose, prior, env, budget) -> IcpRe
     # measurement — the refresh leg is ~2 ms of the B=8 step.)
     import os as _os
 
-    if _os.environ.get("MOLA_TPU_FUSED_REFRESH", "1") == "0":
+    # Static single-phase: a config whose own iteration budget never
+    # extends past the refresh point runs the plain capture-once
+    # algorithm — identical to the XLA loop (tests/test_pallas_icp.py::
+    # test_fused_matches_xla_path_single_phase gates this equivalence;
+    # with the narrowed 4-probe refresh footprint a post-convergence
+    # re-capture is no longer a numerical no-op, so it must not fire on
+    # budgets that end at the refresh point).
+    single_phase = cfg.max_iterations <= _FUSED_REFRESH_AT
+    if single_phase or _os.environ.get("MOLA_TPU_FUSED_REFRESH", "1") == "0":
         R, t, iters, hook, converged, quality = keep(None)
     else:
         need2 = (~hook1) & (budget > it1)
