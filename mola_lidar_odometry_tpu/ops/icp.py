@@ -291,7 +291,7 @@ def _align_fused_call(cfg, maps, layers, init_pose, prior, env, budget) -> IcpRe
         and m0.stride <= 128  # kernel window-select: W = 128 // stride ways
     )
 
-    def capture_at(pose, nbr):
+    def capture_at(pose, nbr, return_rows=False):
         if use_planar_capture:
             from mola_lidar_odometry_tpu.ops import pallas_capture
 
@@ -299,6 +299,7 @@ def _align_fused_call(cfg, maps, layers, init_pose, prior, env, budget) -> IcpRe
             return pallas_capture.capture_planar(
                 m0.data, m0.voxel_size, m0.epoch, q, nbr,
                 interpret=interpret, K=m0.K, stride=m0.stride, valid=valid,
+                return_rows=return_rows,
             )
         cfg_n = (
             cfg
@@ -374,7 +375,24 @@ def _align_fused_call(cfg, maps, layers, init_pose, prior, env, budget) -> IcpRe
         cfg.nn_neighbors,
         int(_os.environ.get("MOLA_TPU_PHASE1_NEIGHBORS", "8")),
     )
-    cs0 = capture_at(init_pose, phase1_nbr)
+    # Refresh-by-reselect (default): keep the phase-1 gathered bucket rows
+    # alive and let phase 2 re-run only the top-2 selection kernel against
+    # the settled pose — the hook bound guarantees the phase-1 footprint
+    # still covers the moved queries, so this both SKIPS the refresh row
+    # gather (the step's dominant instruction class) and re-ranks over the
+    # FULL 8-probe footprint instead of a narrowed re-gather.
+    # MOLA_TPU_REFRESH_RESELECT=0 falls back to a fresh phase-2 gather.
+    reselect_on = (
+        use_planar_capture
+        and _os.environ.get("MOLA_TPU_REFRESH_RESELECT", "1") == "1"
+    )
+    if reselect_on:
+        cx0, cy0, cz0, cm0, rows0 = capture_at(
+            init_pose, phase1_nbr, return_rows=True
+        )
+        cs0 = (cx0, cy0, cz0, cm0)
+    else:
+        cs0 = capture_at(init_pose, phase1_nbr)
     b1 = jnp.minimum(budget, _FUSED_REFRESH_AT)
     R1, t1, it1, hook1, conv1, q1 = run(cs0, init_pose, jnp.int32(0), b1)
     pose1 = Pose(R1, t1)
@@ -399,7 +417,17 @@ def _align_fused_call(cfg, maps, layers, init_pose, prior, env, budget) -> IcpRe
     )
 
     def phase2(_):
-        cs1 = capture_at(pose1, refresh_nbr)
+        if reselect_on:
+            from mola_lidar_odometry_tpu.ops import pallas_capture
+
+            cs1 = pallas_capture.capture_planar_reselect(
+                rows0, m0.voxel_size, m0.epoch,
+                se3.transform(pose1, xyz), se3.transform(init_pose, xyz),
+                phase1_nbr, interpret=interpret, K=m0.K, stride=m0.stride,
+                valid=valid,
+            )
+        else:
+            cs1 = capture_at(pose1, refresh_nbr)
         R2, t2, it2, hook2, conv2, q2 = run(cs1, pose1, it1, budget - it1)
         return R2, t2, it1 + it2, hook2, conv2, q2
 

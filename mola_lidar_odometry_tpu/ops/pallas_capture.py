@@ -57,13 +57,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _make_kernel(K: int, P: int, TQ: int, neighbors: int, stride: int):
+def _make_kernel(K: int, P: int, TQ: int, neighbors: int, stride: int,
+                 reselect: bool = False):
     W = 128 // stride
 
     def kernel(sp_ref, g_ref, q_ref, out_ref):
         # sp_ref: (1, 8) f32 SMEM [voxel_size, inv_voxel_size, epoch16, ...]
         # g_ref:  (P, TQ, 128) VMEM i32 — bucket rows, all probes of tile
-        # q_ref:  (8, TQ) VMEM f32 — query planes [x; y; z; pad...]
+        # q_ref:  (8, TQ) VMEM f32 — query planes [x; y; z; pad...];
+        #         in reselect mode rows 3:6 carry the CAPTURE-TIME query
+        #         positions the rows in g_ref were gathered for
         # out_ref:(8, P, TQ) VMEM f32 — planes [x1,y1,z1,m1,x2,y2,z2,m2]
         vs = sp_ref[0, 0]
         inv_vs = sp_ref[0, 1]
@@ -72,15 +75,26 @@ def _make_kernel(K: int, P: int, TQ: int, neighbors: int, stride: int):
         qx = q_ref[0:1, :]  # (1, TQ)
         qy = q_ref[1:2, :]
         qz = q_ref[2:3, :]
+        # Probe-derivation coords: in reselect mode the bucket rows were
+        # gathered for the capture-time positions, so expected keys MUST
+        # re-derive from those (rows 3:6) — the live query (rows 0:3) only
+        # ranks distances.  Same op order as the original capture, so the
+        # key derivation is bit-exact vs the gather's.
+        if reselect:
+            cxq = q_ref[3:4, :]
+            cyq = q_ref[4:5, :]
+            czq = q_ref[5:6, :]
+        else:
+            cxq, cyq, czq = qx, qy, qz
         # expected probe key: floor(q / vs) + offset(p)  (reproduces
         # voxel_coords + neighbor_coords bit-exactly — same op order)
-        bx = jnp.floor(qx * inv_vs)
-        by = jnp.floor(qy * inv_vs)
-        bz = jnp.floor(qz * inv_vs)
+        bx = jnp.floor(cxq * inv_vs)
+        by = jnp.floor(cyq * inv_vs)
+        bz = jnp.floor(czq * inv_vs)
         if neighbors in (4, 8):
-            sx = jnp.where(qx * inv_vs - (bx + 0.5) >= 0, 1.0, -1.0)
-            sy = jnp.where(qy * inv_vs - (by + 0.5) >= 0, 1.0, -1.0)
-            sz = jnp.where(qz * inv_vs - (bz + 0.5) >= 0, 1.0, -1.0)
+            sx = jnp.where(cxq * inv_vs - (bx + 0.5) >= 0, 1.0, -1.0)
+            sy = jnp.where(cyq * inv_vs - (by + 0.5) >= 0, 1.0, -1.0)
+            sz = jnp.where(czq * inv_vs - (bz + 0.5) >= 0, 1.0, -1.0)
 
         sub_k = jax.lax.broadcasted_iota(jnp.int32, (K, TQ), 0)
         k_iota = sub_k.astype(jnp.float32)  # tpu.iota is integer-only
@@ -174,7 +188,10 @@ def _make_kernel(K: int, P: int, TQ: int, neighbors: int, stride: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("neighbors", "interpret", "tile_q", "K", "stride")
+    jax.jit,
+    static_argnames=(
+        "neighbors", "interpret", "tile_q", "K", "stride", "return_rows"
+    ),
 )
 def capture_planar(
     data: jax.Array,  # (rows, 128) i32 packed slot windows
@@ -187,7 +204,8 @@ def capture_planar(
     K: int = 20,
     stride: int = 32,
     valid: jax.Array | None = None,  # (N,) bool — see spread-pad note below
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    return_rows: bool = False,  # also return the gathered bucket rows
+) -> Tuple[jax.Array, ...]:
     """Fused capture: returns planar candidates ``(cx, cy, cz, cm)``, each
     ``(2P, npad)`` f32 — exactly the layout ops/pallas_icp.align_fused keeps
     in VMEM, so no transposes exist anywhere on the fused path."""
@@ -256,5 +274,82 @@ def capture_planar(
     cm = jnp.concatenate([out[3], out[7]], axis=0)
     if valid is not None:
         # spread-pad rows must never pair (see note above)
+        cm = cm * vmask[None].astype(cm.dtype)
+    if return_rows:
+        return cx, cy, cz, cm, g
+    return cx, cy, cz, cm
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("neighbors", "interpret", "tile_q", "K", "stride"),
+)
+def capture_planar_reselect(
+    rows: jax.Array,  # (P, npad, 128) i32 — gathered by capture_planar
+    voxel_size: jax.Array,
+    epoch: jax.Array,
+    queries_live: jax.Array,  # (N, 3) — positions to rank distances from
+    queries_cap: jax.Array,  # (N, 3) — positions the rows were gathered for
+    neighbors: int = 8,
+    interpret: bool = False,
+    tile_q: int = 256,
+    K: int = 20,
+    stride: int = 32,
+    valid: jax.Array | None = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Re-run the top-2 per-voxel selection on ALREADY-GATHERED bucket rows
+    with moved query positions — no new HBM row gather.
+
+    The mid-align refresh (ops/icp.py phase 2) starts within the hook
+    bound (<= ~0.15 m) of the capture pose, so the 8-probe half-voxel-exact
+    footprint gathered at the ENTRY pose is still a superset of the
+    neighborhood at the settled pose — what changes is WHICH candidates are
+    the top-2 per voxel.  Re-ranking the same rows against the moved
+    queries recovers exactly that, for the cost of one kernel pass (~0.14
+    ms at B=8) instead of a fresh (N*P)-row gather (~0.8-1.6 ms, the
+    step's dominant instruction).  Probe keys re-derive from
+    ``queries_cap`` (bit-exact vs the original gather's bucket choice);
+    distances rank against ``queries_live``."""
+    if 128 % stride or not 2 + K <= stride <= 128:  # pragma: no cover
+        raise ValueError((K, stride))
+    P, npad, _ = rows.shape
+    n = queries_live.shape[0]
+    TQ = min(tile_q, npad)
+    ql = jnp.pad(queries_live, [(0, npad - n), (0, 0)])
+    qc = jnp.pad(queries_cap, [(0, npad - n), (0, 0)])
+    q8 = jnp.concatenate(
+        [jnp.swapaxes(ql, 0, 1), jnp.swapaxes(qc, 0, 1)], axis=0
+    )
+    q8 = jnp.pad(q8, [(0, 2), (0, 0)])  # (8, npad)
+
+    sp = jnp.stack(
+        [
+            jnp.asarray(voxel_size, jnp.float32),
+            1.0 / jnp.asarray(voxel_size, jnp.float32),
+            (jnp.asarray(epoch, jnp.int32) & 0xFFFF).astype(jnp.float32),
+        ]
+    )
+    sp = jnp.pad(sp, (0, 5)).reshape(1, 8)
+
+    ntiles = npad // TQ
+    out = pl.pallas_call(
+        _make_kernel(K, P, TQ, neighbors, stride, reselect=True),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((P, TQ, 128), lambda j: (0, j, 0)),
+            pl.BlockSpec((8, TQ), lambda j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((8, P, TQ), lambda j: (0, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((8, P, npad), jnp.float32),
+        interpret=interpret,
+    )(sp, rows, q8)
+
+    cx = jnp.concatenate([out[0], out[4]], axis=0)
+    cy = jnp.concatenate([out[1], out[5]], axis=0)
+    cz = jnp.concatenate([out[2], out[6]], axis=0)
+    cm = jnp.concatenate([out[3], out[7]], axis=0)
+    if valid is not None:
+        vmask = jnp.pad(valid.astype(bool), (0, npad - n))
         cm = cm * vmask[None].astype(cm.dtype)
     return cx, cy, cz, cm

@@ -87,3 +87,77 @@ def test_capture_planar_matches_xla_capture():
         np.testing.assert_allclose(
             got[gm], np.asarray(ref.pts)[rm], rtol=0, atol=1e-6
         )
+
+
+def test_capture_reselect_identity_matches_capture():
+    """Reselect on the capture's own rows with UNMOVED queries must be
+    bit-identical to the original capture (same kernel math, probe keys
+    re-derived from the same positions)."""
+    from mola_lidar_odometry_tpu.ops import pallas_capture as pc
+
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(-6, 6, (600, 3)).astype(np.float32)
+    m = vh.insert(
+        vh.VoxelHashMap.create(1 << 10, 20, 1.0), PointCloud.from_xyz(jnp.asarray(pts))
+    )
+    n = 24
+    q = jnp.asarray(rng.uniform(-5, 5, (n, 3)).astype(np.float32))
+    cx, cy, cz, cm, rows = pc.capture_planar(
+        m.data, m.voxel_size, m.epoch, q, 8, interpret=True, tile_q=128,
+        K=m.K, stride=m.stride, return_rows=True,
+    )
+    rx, ry, rz, rm = pc.capture_planar_reselect(
+        rows, m.voxel_size, m.epoch, q, q, 8, interpret=True, tile_q=128,
+        K=m.K, stride=m.stride,
+    )
+    np.testing.assert_array_equal(np.asarray(cm), np.asarray(rm))
+    sel = np.asarray(cm) > 0
+    for a, b in ((cx, rx), (cy, ry), (cz, rz)):
+        np.testing.assert_array_equal(np.asarray(a)[sel], np.asarray(b)[sel])
+
+
+def test_capture_reselect_reranks_by_moved_query():
+    """With queries moved WITHIN the captured footprint, reselect must rank
+    candidates by distance to the MOVED position: a fresh capture at the
+    moved position returns the same top-1 whenever the moved query stays in
+    the same voxel (the capture-time footprint is then a superset)."""
+    from mola_lidar_odometry_tpu.ops import pallas_capture as pc
+
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(-6, 6, (600, 3)).astype(np.float32)
+    m = vh.insert(
+        vh.VoxelHashMap.create(1 << 10, 20, 1.0), PointCloud.from_xyz(jnp.asarray(pts))
+    )
+    n = 24
+    q0 = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    # small in-voxel move (|delta| ~ 0.1 << voxel 1.0)
+    q1 = q0 + rng.uniform(-0.06, 0.06, (n, 3)).astype(np.float32)
+    # identical probe footprint = same voxel AND same octant (the 8-probe
+    # corner block picks neighbors on the query's side of the voxel
+    # center) — only then is a fresh capture's per-probe row set identical
+    # and the comparison exact
+    same_voxel = (np.floor(q0) == np.floor(q1)).all(axis=1)
+    oct0 = (q0 - (np.floor(q0) + 0.5)) >= 0
+    oct1 = (q1 - (np.floor(q1) + 0.5)) >= 0
+    same_voxel = same_voxel & (oct0 == oct1).all(axis=1)
+    _, _, _, _, rows = pc.capture_planar(
+        m.data, m.voxel_size, m.epoch, jnp.asarray(q0), 8, interpret=True,
+        tile_q=128, K=m.K, stride=m.stride, return_rows=True,
+    )
+    rx, ry, rz, rm = pc.capture_planar_reselect(
+        rows, m.voxel_size, m.epoch, jnp.asarray(q1), jnp.asarray(q0), 8,
+        interpret=True, tile_q=128, K=m.K, stride=m.stride,
+    )
+    fx, fy, fz, fm = pc.capture_planar(
+        m.data, m.voxel_size, m.epoch, jnp.asarray(q1), 8, interpret=True,
+        tile_q=128, K=m.K, stride=m.stride,
+    )
+    # compare the top-1 block (first P planes) per query for same-voxel moves
+    P = 8
+    got = np.stack([np.asarray(a)[:P, :n] for a in (rx, ry, rz)], -1)
+    ref = np.stack([np.asarray(a)[:P, :n] for a in (fx, fy, fz)], -1)
+    gm = np.asarray(rm)[:P, :n] > 0
+    fm_ = np.asarray(fm)[:P, :n] > 0
+    both = gm & fm_ & same_voxel[None, :]
+    assert both.sum() > 40  # the scene is dense enough to be a real check
+    np.testing.assert_allclose(got[both], ref[both], rtol=0, atol=1e-6)
