@@ -144,7 +144,9 @@ class BridgeROS2:
             return
         pts = []
         for m in lo.carry.maps.values():
-            pc = maps_ops.as_pointcloud(m, 200_000)
+            # anchor at the live robot pose: beyond the pkey wrap envelope
+            # an origin-anchored unwrap would alias exported positions
+            pc = maps_ops.as_pointcloud(m, 200_000, anchor=lo.carry.pose_t)
             if pc is not None:
                 xyz = np.asarray(pc.xyz)[np.asarray(pc.valid)]
                 if len(xyz):

@@ -369,11 +369,13 @@ def _align_fused_call(cfg, maps, layers, init_pose, prior, env, budget) -> IcpRe
     # (round 4): +11% throughput (674 vs 606 scans/s/chip at B=8) but the
     # coarse leg loses cross-voxel-face NNs at KITTI speeds and the single
     # refresh cannot absorb the bias (bench GT drift 0.345 vs 0.221, guard
-    # ceiling 0.25) — so the default stays the full footprint.
-    # MOLA_TPU_PHASE1_NEIGHBORS=1 re-enables the fast variant for A/B.
-    phase1_nbr = min(
-        cfg.nn_neighbors,
-        int(_os.environ.get("MOLA_TPU_PHASE1_NEIGHBORS", "8")),
+    # ceiling 0.25) — so the default stays the config's full footprint
+    # (cfg.nn_neighbors — an explicit MOLA_TPU_NN_NEIGHBORS=27 override
+    # keeps all 27 probes in phase 1 too).
+    # MOLA_TPU_PHASE1_NEIGHBORS=1/4 narrows the coarse leg for A/B.
+    _p1_env = _os.environ.get("MOLA_TPU_PHASE1_NEIGHBORS")
+    phase1_nbr = (
+        cfg.nn_neighbors if _p1_env is None else min(cfg.nn_neighbors, int(_p1_env))
     )
     # Refresh-by-reselect (default): keep the phase-1 gathered bucket rows
     # alive and let phase 2 re-run only the top-2 selection kernel against
@@ -397,25 +399,6 @@ def _align_fused_call(cfg, maps, layers, init_pose, prior, env, budget) -> IcpRe
     R1, t1, it1, hook1, conv1, q1 = run(cs0, init_pose, jnp.int32(0), b1)
     pose1 = Pose(R1, t1)
 
-    # The refresh capture narrows to the 4-probe footprint (containing voxel
-    # + the 3 face neighbors on the query's octant side): phase 2 starts
-    # within the hook bound (<= ~0.15 m) of the settled pose and the
-    # annealed threshold is small by iteration >= _FUSED_REFRESH_AT, so the
-    # near-field footprint loses almost nothing — and the (N*P)-row gather
-    # (the single most expensive instruction of the whole scan step) is
-    # row-count-bound, so the refresh leg's cost halves vs 8-probe.  Device
-    # A/B (B=8, 131k pts): 8-probe 731.5 scans/s GT 0.137, 4-probe 784.7
-    # GT 0.143 (guard 0.20), 1-probe 852.7 GT 0.189 (rejected — accuracy).
-    # The narrowing applies ONLY to the dense 8-probe default; 27-probe
-    # configs keep their full footprint on the refresh (their voxel size
-    # regime is exactly where cross-voxel NNs matter).
-    # MOLA_TPU_REFRESH_NEIGHBORS overrides for device A/B.
-    _refresh_default = 4 if cfg.nn_neighbors == 8 else 8
-    refresh_nbr = min(
-        cfg.nn_neighbors,
-        int(_os.environ.get("MOLA_TPU_REFRESH_NEIGHBORS", str(_refresh_default))),
-    )
-
     def phase2(_):
         if reselect_on:
             from mola_lidar_odometry_tpu.ops import pallas_capture
@@ -427,6 +410,25 @@ def _align_fused_call(cfg, maps, layers, init_pose, prior, env, budget) -> IcpRe
                 valid=valid,
             )
         else:
+            # Fresh phase-2 gather (reselect off): narrow to the 4-probe
+            # footprint (containing voxel + the 3 face neighbors on the
+            # query's octant side) for the dense 8-probe default — phase 2
+            # starts within the hook bound (<= ~0.15 m) of the settled pose
+            # and the annealed threshold is small by iteration >=
+            # _FUSED_REFRESH_AT.  Device A/B (B=8, 131k pts): 8-probe 731.5
+            # scans/s GT 0.137, 4-probe 784.7 GT 0.143 (guard 0.20), 1-probe
+            # 852.7 GT 0.189 (rejected — accuracy).  Wider footprints
+            # (27-probe configs) keep their full footprint on the refresh.
+            # MOLA_TPU_REFRESH_NEIGHBORS overrides for device A/B.
+            _refresh_default = 4 if phase1_nbr == 8 else phase1_nbr
+            refresh_nbr = min(
+                cfg.nn_neighbors,
+                int(
+                    _os.environ.get(
+                        "MOLA_TPU_REFRESH_NEIGHBORS", str(_refresh_default)
+                    )
+                ),
+            )
             cs1 = capture_at(pose1, refresh_nbr)
         R2, t2, it2, hook2, conv2, q2 = run(cs1, pose1, it1, budget - it1)
         return R2, t2, it1 + it2, hook2, conv2, q2

@@ -252,8 +252,15 @@ def insert_stats(
     # voxels leave the index the same frame (oracle match_targets semantics);
     # a coarse cell overflowing its point cap surfaces as full_drops.
     all_centers = (m2.keys.astype(jnp.float32) + 0.5) * m2.voxel_size
+    # epoch liveness is 16-bit: a slot last written at epoch e would read
+    # live again at e + 65536 (multi-hour runs), resurrecting stale centers
+    # for a frame per wrap.  Hard-zero one row slab per insert (rolling, same
+    # cost class as slab eviction): every slot is physically cleared every
+    # n_slabs frames, so nothing survives to meet its epoch again.
+    mc = m2.match.clear()
+    mc = vh.zero_state_slab(mc, mc.epoch, n_slabs=64)
     match, mstats = vh.insert_stats(
-        m2.match.clear(), PointCloud.from_xyz(all_centers, valid=m2.occupied())
+        mc, PointCloud.from_xyz(all_centers, valid=m2.occupied())
     )
     return m2._replace(match=match), mstats
 

@@ -79,6 +79,7 @@ reducing over the <=P*K candidates.
 from __future__ import annotations
 
 import dataclasses
+import math
 from dataclasses import dataclass
 from typing import Any, NamedTuple, Tuple
 
@@ -662,6 +663,38 @@ def _prune_state_scatter(
     return m._replace(data=data)
 
 
+def zero_state_slab(m: VoxelHashMap, slab: jax.Array, n_slabs: int = 64) -> VoxelHashMap:
+    """Hard-zero the state lanes of one contiguous row slab (1/``n_slabs``
+    of the table), cycling with ``slab``.
+
+    Epoch-tagged liveness wraps at 16 bits: a slot last written at epoch
+    ``e`` reads as live again at ``e + 65536``, resurrecting stale entries
+    on multi-hour runs.  Callers that epoch-bump-clear every frame (the
+    occupancy match index) chain this after ``clear()``: every slot is
+    physically zeroed every ``n_slabs`` frames, so nothing survives long
+    enough to meet its epoch again — at the same ~(table/n_slabs) cost
+    class as the rolling-slab eviction, never a whole-table op."""
+    R = m.data.shape[-2]
+    ns = min(int(n_slabs), R)
+    S = R // ns
+    start = jnp.asarray(slab, jnp.int32) % ns * S
+    rows = jax.lax.dynamic_slice_in_dim(m.data, start, S, -2)
+    stride = m.stride
+    lane = jnp.arange(128, dtype=jnp.int32)
+    if stride <= 128:
+        is_state = ((lane % jnp.int32(stride)) == 1)[None, :]
+    else:
+        # one slot spans stride/128 rows; the state lane is lane 1 of the
+        # FIRST row of each slot only (lane 1 of the other rows is a point
+        # word — zeroing it would corrupt a stored point)
+        rpp = stride // 128
+        row_in_slot = (start + jnp.arange(S, dtype=jnp.int32)) % rpp
+        is_state = (lane[None, :] == 1) & (row_in_slot[:, None] == 0)
+    neww = jnp.where(is_state, 0, rows)
+    data = jax.lax.dynamic_update_slice_in_dim(m.data, neww, start, -2)
+    return m._replace(data=data)
+
+
 def prune_farther_than(m: VoxelHashMap, center: jax.Array, distance) -> VoxelHashMap:
     """Drop voxels with L1 distance from ``center`` beyond ``distance``.
 
@@ -905,15 +938,55 @@ def query_p2pl(
     )
 
 
+def derive_anchor_vox(m: VoxelHashMap) -> jax.Array:
+    """(3,) i32 — an unwrap anchor derived from the map's own live keys.
+
+    Per axis, the live wrapped key values are treated as angles on a circle
+    of period ``2^bits`` and their circular mean is the anchor.  Because the
+    sliding map's live extent is always within half the wrap range (the
+    eviction radius guarantees it), every live voxel unwraps exactly
+    relative to this anchor — absolute positions are recovered modulo the
+    wrap period, which is exact whenever the map actually lives within the
+    envelope and the best possible reconstruction from the table alone
+    otherwise.  Callers that know the robot pose should still pass it as
+    the explicit anchor (it pins the absolute offset unconditionally)."""
+    w = m._windows
+    pkey = w[:, 0]
+    live = m.fresh & ((w[:, 1] & 0xFFFF) > 0)
+    wt = live.astype(jnp.float32)
+    nf = jnp.maximum(jnp.sum(wt), 1.0)
+
+    def axis_mean(u, period):
+        theta = u.astype(jnp.float32) * (2.0 * math.pi / period)
+        c = jnp.sum(jnp.cos(theta) * wt) / nf
+        s = jnp.sum(jnp.sin(theta) * wt) / nf
+        ang = jnp.arctan2(s, c)  # [-pi, pi]
+        a = jnp.round(ang * (period / (2.0 * math.pi))).astype(jnp.int32)
+        # canonicalize to the SIGNED range [-period/2, period/2): a map
+        # clustered around the origin must anchor at ~0, not ~period-1
+        # (both unwrap self-consistently, but legacy near-origin behavior —
+        # and every near-origin test/consumer — expects the 0-side
+        # representative)
+        return ((a + period // 2) & jnp.int32(period - 1)) - period // 2
+
+    ux = (pkey >> (_PKY_BITS + _PKZ_BITS)) & (_PKX - 1)
+    uy = (pkey >> _PKZ_BITS) & (_PKY - 1)
+    uz = pkey & (_PKZ - 1)
+    return jnp.stack([axis_mean(ux, _PKX), axis_mean(uy, _PKY), axis_mean(uz, _PKZ)])
+
+
 def as_pointcloud(m: VoxelHashMap, capacity: int, anchor=None) -> PointCloud:
     """Flatten live voxel contents into a PointCloud (for viz / serialization).
 
     ``anchor`` (3,) f32 world position (e.g. the current robot pose) anchors
     the pkey unwrap — required for correct absolute positions once the map
-    slides beyond ±1024 voxels of the origin in x/y (±64 in z)."""
+    slides beyond ±1024 voxels of the origin in x/y (±64 in z).  Without an
+    explicit anchor one is derived from the map's own live keys
+    (:func:`derive_anchor_vox`): relative geometry stays exact at any map
+    position; the absolute offset is exact modulo the wrap period."""
     V, K = m.num_slots, m.K
     if anchor is None:
-        avox = jnp.zeros(3, jnp.int32)
+        avox = derive_anchor_vox(m)
     else:
         avox = voxel_coords(jnp.asarray(anchor, jnp.float32)[None], m.voxel_size)[0]
     jmask = jnp.arange(K, dtype=jnp.int32)[None, :] < m.count[:, None]

@@ -90,7 +90,7 @@ def make_shardmap_fleet_step(spec: OdometrySpec, mesh: Mesh, batch: Optional[int
     """shard_map the fleet step over the ``fleet`` axis: each shard runs its
     ``batch/n_fleet`` local instances; zero inter-chip collectives by
     construction (see module docstring).  Returns ``(jitted, carry0)``."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map  # jax>=0.6 home (experimental path deprecated)
 
     batch = batch or mesh.shape["fleet"]
     if batch % mesh.shape["fleet"]:
@@ -111,7 +111,7 @@ def make_shardmap_fleet_step(spec: OdometrySpec, mesh: Mesh, batch: Optional[int
 
     fn = shard_map(
         fstep, mesh=mesh, in_specs=(c_specs, s_specs), out_specs=o_specs,
-        check_rep=False,
+        check_vma=False,
     )
     jitted = jax.jit(fn)
     c_sh = jax.tree_util.tree_map(

@@ -54,12 +54,15 @@ RAW_QUANTUM = 8192
 # eviction, and a voxel drops when BOTH ways of its 2-way bucket are taken
 # (ops/voxel_hash.py).  Measured on a dense non-bench world (10 frames,
 # 140-box clutter): factor 8 -> 0.28% of inserts dropped, 16 -> 0.086%,
-# 32 -> 0.009%.  32 holds the <0.1% budget with ~10x margin — but table
-# BYTES are not free: random-row gathers (the step's dominant cost) run
-# ~5 ns/row on a hot ~33 MB working set vs ~13.5 ns on a cold ~268 MB one
-# (eval/micro_gather.py), so an oversized table slows every capture.
-# MOLA_MAP_SLOTS_FACTOR overrides for device A/B.
-MAP_SLOTS_FACTOR = int(os.environ.get("MOLA_MAP_SLOTS_FACTOR", "32"))
+# 32 -> 0.009%.  Table BYTES are not free: random-row gathers (the step's
+# dominant cost) are ~5 ns/row on a hot ~33 MB working set vs ~13.5 ns on
+# a cold ~268 MB one (eval/micro_gather.py), so an oversized table slows
+# every capture.  Round-5 device A/B (B=8, 131k-pt bench): factor 32 =
+# 868 scans/s/chip (GT 0.148, 0 drops), 16 = 1109 (GT 0.150, 0.009%
+# drops), 8 = 1156 (GT 0.158, 0.036% here but 0.28% on the dense world —
+# over the <0.1% budget).  16 is the best factor that holds the budget on
+# every measured world; MOLA_MAP_SLOTS_FACTOR overrides for device A/B.
+MAP_SLOTS_FACTOR = int(os.environ.get("MOLA_MAP_SLOTS_FACTOR", "16"))
 MAP_SLOTS_MIN = 1 << 12
 MAP_SLOTS_MAX = 1 << 20
 

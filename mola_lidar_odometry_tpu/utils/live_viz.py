@@ -244,7 +244,10 @@ class LiveViewer:
 
         pts = _np.zeros((0, 3), _np.float32)
         for m in self.lo.carry.maps.values():
-            pc = maps_ops.as_pointcloud(m, max_points)
+            # anchor at the live pose so far-from-origin maps don't alias
+            pc = maps_ops.as_pointcloud(
+                m, max_points, anchor=self.lo.carry.pose_t
+            )
             xyz = _np.asarray(pc.xyz)[_np.asarray(pc.valid)]
             pts = _np.concatenate([pts, xyz.astype(_np.float32)])
         if len(pts) > max_points:

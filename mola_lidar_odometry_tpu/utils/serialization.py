@@ -219,10 +219,17 @@ def import_simplemap_mrpt(path: Union[str, Path]) -> List:
     return out
 
 
-def export_metric_map_mrpt(path: Union[str, Path], maps, capacity: int = 1 << 20) -> None:
+def export_metric_map_mrpt(
+    path: Union[str, Path], maps, capacity: int = 1 << 20, anchor=None
+) -> None:
     """Write the local map as an mp2p_icp ``.mm`` (gzip CArchive): each
     layer flattened to its point view (voxel contents / NDT means /
-    occupied centers)."""
+    occupied centers).
+
+    ``anchor`` (3,) world position (e.g. the robot pose at save time) pins
+    the wrapped-voxel-key unwrap of hash layers; without it the anchor is
+    derived from the map's own live keys (exact relative geometry, absolute
+    offset modulo the wrap period — see voxel_hash.derive_anchor_vox)."""
     from mola_lidar_odometry_tpu.ops import maps as maps_ops
     from mola_lidar_odometry_tpu.utils import mrpt_io as M
 
@@ -230,7 +237,7 @@ def export_metric_map_mrpt(path: Union[str, Path], maps, capacity: int = 1 << 20
         maps = {"localmap": maps}
     layers = {}
     for name, m in maps.items():
-        pc = maps_ops.as_pointcloud(m, capacity)
+        pc = maps_ops.as_pointcloud(m, capacity, anchor=anchor)
         xyz = np.asarray(pc.xyz)
         valid = np.asarray(pc.valid)
         layers[name] = (xyz[valid].astype(np.float32), None)

@@ -45,13 +45,13 @@ class TestDecimate:
         )(pc)
         kept = np.asarray(out.xyz)[np.asarray(out.valid)]
         # first point of voxel(0,0,0) is index 0; voxel(1,0,0) keeps index 2.
-        # Output order is slot order (round-4 scatter compaction), so
-        # compare as a set.
+        # Output must be in INPUT order — load-bearing invariant: decimation
+        # CASCADES (decimated_for_icp re-decimates decimated_for_map), so a
+        # reordered stage-1 output changes stage-2 winners (round-4 NDT
+        # parity failure was exactly a slot-ordered compaction).
         assert kept.shape[0] == 2
-        kept = kept[np.lexsort(kept.T)]
-        expect = xyz[[0, 2]]
-        expect = expect[np.lexsort(expect.T)]
-        np.testing.assert_allclose(kept, expect)
+        np.testing.assert_allclose(kept[0], xyz[0])
+        np.testing.assert_allclose(kept[1], xyz[2])
 
     def test_min_input_passthrough(self):
         xyz = np.random.default_rng(0).uniform(0, 0.5, (8, 3)).astype(np.float32)

@@ -119,6 +119,47 @@ def test_as_pointcloud():
     np.testing.assert_allclose(got, np.sort(qz(xyz, 1.0), axis=0), atol=1e-7)
 
 
+def test_as_pointcloud_far_from_origin_derived_anchor():
+    """A map living beyond the pkey wrap envelope of the origin (±1024
+    voxels x/y, ±128 z) must still export correct positions with NO explicit
+    anchor: the unwrap anchor is derived from the map's own live keys
+    (ADVICE r4: export/viz call sites without a pose were aliasing)."""
+    m = vh.VoxelHashMap.create(1 << 12, 4, 1.0)
+    # 1500 voxels out in x, 100 in z: beyond the old origin-anchored safe
+    # envelope (±1024 x/y, ±64 z) but within half the wrap period of the
+    # origin, so the derived anchor recovers exact absolute positions
+    # (beyond half a period the offset is inherently modulo the wrap)
+    base = np.array([1500.0, -300.0, 100.0], np.float32)
+    xyz = base[None, :] + np.array(
+        [[0.1, 0.2, 0.3], [5.1, 5.2, 5.3], [-3.4, 2.2, -1.7]], np.float32
+    )
+    m = vh.insert(m, cloud(xyz))
+    pc = vh.as_pointcloud(m, 16)  # anchor=None -> derived from live keys
+    got = np.sort(np.asarray(pc.xyz)[np.asarray(pc.valid)], axis=0)
+    np.testing.assert_allclose(got, np.sort(qz(xyz, 1.0), axis=0), atol=1e-3)
+
+
+def test_zero_state_slab_kills_epoch_wrap_ghosts():
+    """Rolling slab zero-fill: a slot abandoned for >= n_slabs clears
+    physically, so 16-bit epoch wrap can never resurrect it (occupancy
+    match-index chain; ADVICE r4)."""
+    m = vh.VoxelHashMap.create(1 << 8, 4, 1.0)
+    m = vh.insert(m, cloud([[0.5, 0.5, 0.5], [3.5, 0.5, 0.5]]))
+    assert int(m.num_voxels()) == 2
+    m = m.clear()
+    # sweep every slab once (n_slabs capped at the row count internally)
+    for s in range(m.data.shape[-2]):
+        m = vh.zero_state_slab(m, jnp.int32(s), n_slabs=m.data.shape[-2])
+    # simulate 65536 epoch bumps: without the zero-fill the old state
+    # lane would read as live again at the wrapped epoch
+    m = m._replace(epoch=m.epoch + 65535)
+    assert int(m.num_voxels()) == 0
+    assert int(m.num_points()) == 0
+    # the table stays usable after the wipe
+    m = vh.insert(m, cloud([[1.5, 1.5, 1.5]]))
+    assert int(m.num_voxels()) == 1
+
+
 def test_vmap_batch_of_maps():
     # Fleet mode: independent maps under vmap
     def build(seed):
