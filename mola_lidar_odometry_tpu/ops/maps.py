@@ -132,7 +132,8 @@ def insert_stats(state, pc: PointCloud, sensor_origin=None, layer_def: "MapLayer
         bud = layer_def.insert_budget if layer_def else 0
         return voxel_hash.insert_stats(state, pc, min_distance=md, budget=bud)
     if isinstance(state, ndt.NdtMap):
-        return ndt.insert_stats(state, pc)
+        md = layer_def.min_distance_between_points if layer_def else 0.0
+        return ndt.insert_stats(state, pc, min_distance=md)
     if isinstance(state, occupancy.OccupancyMap):
         return occupancy.insert_stats(
             state,

@@ -201,18 +201,39 @@ def _sym_eigen_smallest(cov6: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Arra
     return v, e3, e2
 
 
-def insert(m: NdtMap, pc: PointCloud) -> NdtMap:
+def insert(m: NdtMap, pc: PointCloud, min_distance: float = 0.0) -> NdtMap:
     """Accumulate the valid points of ``pc`` (global frame) into the Gaussians."""
-    return insert_stats(m, pc)[0]
+    return insert_stats(m, pc, min_distance)[0]
 
 
-def insert_stats(m: NdtMap, pc: PointCloud):
+# sub-cell dedup grid (min_distance_between_points): lanes 18..31 of each
+# slot window hold a persistent claim bitmask over a G^3 grid of
+# min_distance-sized sub-cells (G <= _DEDUP_MAX_G so G^3 <= 448 bits fits
+# the 14 free lanes)
+_DEDUP_LANE0 = 18
+_DEDUP_LANES = _STRIDE - _DEDUP_LANE0  # 14
+_DEDUP_MAX_G = 7
+
+
+def insert_stats(m: NdtMap, pc: PointCloud, min_distance: float = 0.0):
     """Sort-fused insert: ONE (bucket, pkey, idx) sort groups each voxel's
     points; per-bucket way claims and per-subrun moment totals come from
     segmented scans; the table update is ONE scatter-set of 18 words per
     point (pkey, state, s, ss, mean, normal, plane_ok — all
     identical-per-subrun POST-INSERT values, so duplicate scatter ordering
-    cannot change the result and re-claimed ways start from exact zeros)."""
+    cannot change the result and re-claimed ways start from exact zeros).
+
+    ``min_distance`` (reference insertOpts ``min_distance_between_points``,
+    pipelines/lidar3d-ndt.yaml:236-254, there 0.2 m): BEHAVIORAL cross-frame
+    dedup against already-stored content — each slot window persists a claim
+    bitmask over ``G^3`` sub-cells of ``min_distance`` size (lanes 18-31); a
+    point landing in an already-claimed sub-cell is rejected and never
+    enters the moments.  The distance test is thus quantized to the sub-cell
+    grid (same-sub-cell ⇒ rejected; adjacent-sub-cell points closer than
+    min_distance are still accepted), and — like the point-map
+    implementation — same-batch points do not see each other (shipped
+    pipelines pre-decimate at >= this resolution); both documented in
+    docs/parity.md."""
     from mola_lidar_odometry_tpu.ops import batched_mem as BM
 
     NB = m.num_buckets
@@ -276,6 +297,35 @@ def insert_stats(m: NdtMap, pc: PointCloud):
 
     # per-subrun POST-INSERT totals (identical for every subrun member)
     s_xyz = BM.gather_rows(pc.xyz, sidx)
+
+    dedup = min_distance > 0
+    if dedup:
+        # behavioral min_distance_between_points: reject against the
+        # PERSISTED sub-cell claim bitmask of my way (see docstring)
+        vs = m.voxel_size
+        G = jnp.clip(
+            jnp.floor(vs / jnp.float32(min_distance)).astype(jnp.int32),
+            1,
+            _DEDUP_MAX_G,
+        )
+        s_coords = voxel_coords(s_xyz, vs)
+        f = s_xyz / vs - s_coords.astype(jnp.float32)  # [0, 1) per axis
+        cell = jnp.clip((f * G.astype(jnp.float32)).astype(jnp.int32), 0, G - 1)
+        bit = (cell[:, 0] * G + cell[:, 1]) * G + cell[:, 2]  # (n,)
+        lane_off = bit >> 5  # 0.._DEDUP_LANES-1
+        bmask = jnp.int32(1) << (bit & 31)
+        bit_cols = base + _DEDUP_LANE0 + jnp.arange(_DEDUP_LANES, dtype=jnp.int32)[None]
+        old_bits = jnp.take_along_axis(g, bit_cols, axis=1)  # (n, 14)
+        old_bits = jnp.where(any_match[:, None], old_bits, 0)
+        lane_iota = jnp.arange(_DEDUP_LANES, dtype=jnp.int32)[None]
+        my_old = jnp.sum(jnp.where(lane_iota == lane_off[:, None], old_bits, 0), axis=1)
+        too_close = s_valid & ((my_old & bmask) != 0)
+        accept = accept & ~too_close
+        my_bits = jnp.where(
+            (lane_iota == lane_off[:, None]) & accept[:, None], bmask[:, None], 0
+        )  # (n, 14)
+    else:
+        too_close = jnp.zeros_like(accept)
     ctr = (coords.astype(jnp.float32) + 0.5) * m.voxel_size
     s_ctr = BM.gather_rows(ctr, sidx)
     rel = jnp.where(accept[:, None], s_xyz - s_ctr, 0.0)
@@ -320,7 +370,7 @@ def insert_stats(m: NdtMap, pc: PointCloud):
     mean_g = s_ctr + mean_rel
     state_fin = (m._epoch16 << 16) | n_new
 
-    # ONE scatter-set: 18 words per point
+    # ONE scatter-set: 18 words per point (+14 bitmask words under dedup)
     vals_f32 = jnp.concatenate([new_mom, mean_g, nrm], axis=-1)  # (n, 15)
     vals = jnp.concatenate(
         [
@@ -331,14 +381,40 @@ def insert_stats(m: NdtMap, pc: PointCloud):
         ],
         axis=-1,
     )  # (n, 18)
+    n_lanes = 18
+    write = accept
+    if dedup:
+        # per-subrun OR of the accepted points' claim bits (identical for
+        # every subrun member, so duplicate scatter ordering is still safe)
+        def seg_or2d(a, b):
+            va, fa = a
+            vb, fb = b
+            return jnp.where(fb, vb, va | vb), fa | fb
+
+        incl_b, _ = jax.lax.associative_scan(
+            seg_or2d, (my_bits, is_voxel_head[:, None])
+        )
+        rincl_b, _ = jax.lax.associative_scan(
+            seg_or2d, (my_bits, is_voxel_tail[:, None]), reverse=True
+        )
+        sub_bits = incl_b | rincl_b  # union incl. self counted twice (OR-safe)
+        vals = jnp.concatenate([vals, old_bits | sub_bits], axis=-1)  # (n, 32)
+        n_lanes = 18 + _DEDUP_LANES
+        # a fully-deduped subrun must still refresh its epoch/state lane
+        # (the voxel stays live even when this batch adds nothing), so any
+        # accept-or-rejected member of a LIVE subrun may write the
+        # identical-per-subrun totals
+        write = accept | (too_close & any_match)
     oob = jnp.int32(m.data.shape[-2] * 128)
     p_base = (s_bucket * _WAYS + way) * _STRIDE
-    lane = jnp.arange(18, dtype=jnp.int32)
-    idx = jnp.where(accept[:, None], p_base[:, None] + lane[None], oob)
+    lane = jnp.arange(n_lanes, dtype=jnp.int32)
+    idx = jnp.where(write[:, None], p_base[:, None] + lane[None], oob)
     data = BM.scatter_set(m.data.reshape(-1), idx, vals).reshape(m.data.shape)
 
     stats = InsertStats(
-        collision_drops=jnp.sum(s_valid & ~accept).astype(jnp.int32),
+        # dedup rejections (min_distance) are intended behavior, not
+        # capacity pressure — excluded from the collision counter
+        collision_drops=jnp.sum(s_valid & ~accept & ~too_close).astype(jnp.int32),
         full_drops=jnp.int32(0),  # moments accumulate unbounded (n capped)
     )
     return m._replace(data=data), stats

@@ -83,6 +83,49 @@ def make_world(seed: int = 0, extent: float = 60.0, n_boxes: int = 50, n_plates:
     )
 
 
+def make_indoor_world(seed: int = 0, extent: float = 12.0, n_racks: int = 10,
+                      n_clutter: int = 40) -> SimWorld:
+    """Warehouse-scale indoor world: perimeter walls + aisle racks + floor
+    clutter, with structure CLOSE to the sensor path (unlike
+    :func:`make_world`, which clears a street-width corridor).
+
+    Hand-held indoor recordings (reference test/rslidar_fragment_gt.tum —
+    a warehouse bag) move centimetres per frame; registration accuracy then
+    comes from nearby vertical structure, not the ground.  An outdoor-style
+    cleared corridor leaves mostly ground rings in view, which is the
+    degenerate case for point-to-point matching."""
+    rng = np.random.default_rng(seed)
+    wall_t = 0.2
+    h = 5.0
+    walls = []
+    for sgn in (-1.0, 1.0):
+        walls.append(([sgn * extent, 0.0, h / 2], [wall_t, extent, h / 2], 0.0))
+        walls.append(([0.0, sgn * extent, h / 2], [extent, wall_t, h / 2], 0.0))
+    # aisle racks: rows of long shelving either side of a ~3 m aisle
+    racks = []
+    for k in range(n_racks):
+        y = rng.choice([-1.0, 1.0]) * rng.uniform(1.8, extent - 2.0)
+        x = rng.uniform(-extent + 2.0, extent - 2.0)
+        ln = rng.uniform(2.0, 6.0)
+        ht = rng.uniform(2.0, 4.5)
+        racks.append(([x, y, ht / 2], [ln / 2, 0.5, ht / 2], rng.uniform(0, np.pi)))
+    # floor clutter: crates/pallets, allowed close to the path
+    clutter = []
+    for k in range(n_clutter):
+        x, y = rng.uniform(-extent + 1, extent - 1, 2)
+        if abs(y) < 0.8 and abs(x) < 2.5:
+            continue  # keep the sensor's own footprint clear
+        s = rng.uniform([0.2, 0.2, 0.2], [1.2, 1.2, 1.5])
+        clutter.append(([x, y, s[2] / 2], s / 2, rng.uniform(0, np.pi)))
+    ents = walls + racks + clutter
+    return SimWorld(
+        centers=np.array([e[0] for e in ents], np.float64),
+        half=np.array([e[1] for e in ents], np.float64),
+        yaw=np.array([e[2] for e in ents], np.float64),
+        ground_z=0.0,
+    )
+
+
 _GROUND_AMP = 0.04  # m — asphalt-scale roughness
 _GROUND_CELL = 0.75  # m — texture cell size
 
@@ -219,6 +262,67 @@ def make_trajectory(
         tws.append(tw)
         R, t = _pose_advance(R, t, tw, dt)
     return SimTrajectory(stamps, np.stack(Rs), np.stack(ts), np.stack(tws))
+
+
+def _so3_log(R: np.ndarray) -> np.ndarray:
+    cos = np.clip((np.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    th = np.arccos(cos)
+    if th < 1e-9:
+        return np.zeros(3)
+    w = (
+        np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+        / (2.0 * np.sin(th))
+    )
+    return w * th
+
+
+def trajectory_from_tum(path, *, z_offset: float = 1.5) -> SimTrajectory:
+    """Load a RECORDED ground-truth trajectory (TUM format) as a
+    :class:`SimTrajectory` for raycasting the sim world along it.
+
+    This imports real motion profiles — e.g. the reference's checked-in GT
+    fragments (reference test/kitti_00_fragment_gt.tum: a KITTI-00 vehicle
+    launch; test/rslidar_fragment_gt.tum: 23 hand-held warehouse poses whose
+    jerk stresses the deskew path, per test/test_lidar_odometry_rosbag2.cpp:
+    138-143) — into the synthetic accuracy bed: the worlds stay simulated
+    and deterministic, the DYNAMICS are real.
+
+    Per-frame twists come from finite differences in the body frame,
+    matching :func:`_pose_advance`'s split convention (v advanced with the
+    start rotation): ``w_k = log(R_k^T R_{k+1})/dt``,
+    ``v_k = R_k^T (t_{k+1}-t_k)/dt``.  ``z_offset`` lifts the (usually
+    origin-anchored) recorded track to a sensor height above the sim
+    ground plane.
+    """
+    from mola_lidar_odometry_tpu.utils.tum import load_tum
+
+    stamps, t, quat_xyzw = load_tum(path)
+    stamps = np.asarray(stamps, np.float64)
+    stamps = stamps - stamps[0]
+    t = np.asarray(t, np.float64) + np.array([0.0, 0.0, z_offset])
+    n = len(stamps)
+    Rs = np.empty((n, 3, 3))
+    for k in range(n):
+        x, y, zq, w = np.asarray(quat_xyzw[k], np.float64)
+        nq = np.linalg.norm([x, y, zq, w]) or 1.0
+        x, y, zq, w = x / nq, y / nq, zq / nq, w / nq
+        Rs[k] = np.array(
+            [
+                [1 - 2 * (y * y + zq * zq), 2 * (x * y - zq * w), 2 * (x * zq + y * w)],
+                [2 * (x * y + zq * w), 1 - 2 * (x * x + zq * zq), 2 * (y * zq - x * w)],
+                [2 * (x * zq - y * w), 2 * (y * zq + x * w), 1 - 2 * (x * x + y * y)],
+            ]
+        )
+    tws = np.zeros((n, 6))
+    for k in range(n - 1):
+        dt = max(float(stamps[k + 1] - stamps[k]), 1e-6)
+        tws[k, 3:] = _so3_log(Rs[k].T @ Rs[k + 1]) / dt
+        tws[k, :3] = Rs[k].T @ (t[k + 1] - t[k]) / dt
+    if n > 1:
+        tws[-1] = tws[-2]  # hold the last interval's twist
+    return SimTrajectory(
+        stamps.astype(np.float64), Rs, t, tws
+    )
 
 
 def simulate_scan(

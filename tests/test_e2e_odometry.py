@@ -68,12 +68,11 @@ def test_every_pose_within_tolerance(odometry_run):
         R_est = np.asarray(se3.quat_to_rot(jnp.asarray(tr["quat_xyzw"][k], jnp.float32)))
         err = se3_log_error(R_est, tr["t"][k], R_gt, t_gt)
         worst = max(worst, err)
-    # Tolerance note: the reference gate is 0.1 on a real 64-beam KITTI
-    # fragment.  Point-to-point NN matching on a synthetic world is harder
-    # (sparser rings, repetitive boxes), so the gate carries ~30% headroom
-    # over the measured 0.091 (round-3, 8-probe default) instead of the
-    # reference's exact 0.1 — tightened from round-2's 0.2 per VERDICT #4.
-    assert worst < 0.12, f"worst SE(3) log-norm error {worst}"
+    # The reference gates its recorded fragments at 0.1
+    # (test/test_lidar_odometry_rawlog.cpp:101-106); measured head worst is
+    # 0.0837 on this deterministic world, so gate exactly as tight as the
+    # reference (tightened 0.2 -> 0.12 -> 0.10 across rounds).
+    assert worst < 0.10, f"worst SE(3) log-norm error {worst}"
 
 
 def test_quality_and_keyframes(odometry_run):
@@ -173,6 +172,69 @@ def test_gnss_before_first_scan_epoch_stamps():
     assert kfs and kfs[0].gnss is not None
     assert abs(kfs[0].gnss["lat"] - 40.0) < 1e-9
     assert kfs[0].stamp == pytest.approx(base, abs=1e-3)
+
+
+REF_TEST_DIR = "/root/reference/test"
+
+
+def _run_on_recorded_gt(tum_name, *, n_rings=24, n_azimuth=1024, indoor=False):
+    """Raycast the sim world along a RECORDED reference GT trajectory and
+    run the full odometry — real motion dynamics, deterministic world.
+    Returns (worst, final) gauge-aligned per-pose SE(3) log-norm error."""
+    from mola_lidar_odometry_tpu.utils.sim import (
+        make_indoor_world, make_world, simulate_scan, trajectory_from_tum,
+    )
+
+    traj = trajectory_from_tum(os.path.join(REF_TEST_DIR, tum_name))
+    if indoor:
+        # warehouse-scale: structure close to the sensor, like the recorded
+        # scene — a street-style cleared corridor leaves a centimetres-per-
+        # frame hand-held track looking at mostly ground rings, the
+        # degenerate case for point-to-point matching
+        world = make_indoor_world(0, extent=12.0)
+    else:
+        world = make_world(0, extent=45.0, n_boxes=80, n_plates=40)
+    lo = LidarOdometry.from_yaml_file(PIPELINE, env={}, **TEST_OVERRIDES)
+    G0 = se3.Pose(jnp.asarray(traj.R[0], jnp.float32), jnp.asarray(traj.t[0], jnp.float32))
+    worst = final = 0.0
+    for k in range(len(traj.stamps)):
+        dt_k = (
+            float(traj.stamps[min(k + 1, len(traj.stamps) - 1)] - traj.stamps[k])
+            or 0.1
+        )
+        xyz, times, rings, valid = simulate_scan(
+            world, traj.R[k], traj.t[k], traj.twists[k],
+            n_rings=n_rings, n_azimuth=n_azimuth, spin_period=max(dt_k, 0.05),
+            noise=0.01, max_range=60.0, fov_up_deg=15.0, fov_down_deg=-16.0,
+            seed=500 + k,
+        )
+        out = lo.on_lidar_scan(
+            xyz[valid], float(traj.stamps[k]), times=times[valid], ring=rings[valid]
+        )
+        Gk = se3.Pose(jnp.asarray(traj.R[k], jnp.float32), jnp.asarray(traj.t[k], jnp.float32))
+        rel = se3.relative(se3.relative(G0, Gk), se3.Pose(out.pose_R, out.pose_t))
+        final = float(jnp.linalg.norm(se3.se3_log(rel)))
+        worst = max(worst, final)
+    return worst, final
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_TEST_DIR), reason="reference GT absent")
+def test_recorded_kitti00_fragment_trajectory():
+    """Real KITTI-00 vehicle launch dynamics (reference GT fragment,
+    test/kitti_00_fragment_gt.tum: ~6.7 m/s from the first frame) raycast
+    through the sim world; per-pose gate 0.1 like the reference
+    (test/test_lidar_odometry_rawlog.cpp:101-106)."""
+    worst, _ = _run_on_recorded_gt("kitti_00_fragment_gt.tum")
+    assert worst < 0.1, f"worst per-pose error {worst:.4f} on KITTI-00 GT motion"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_TEST_DIR), reason="reference GT absent")
+def test_recorded_rslidar_handheld_trajectory():
+    """Real hand-held warehouse motion (reference GT, 23 poses with jerk —
+    the deskew stressor, test/test_lidar_odometry_rosbag2.cpp:138-143)
+    raycast through a cluttered indoor-scale world; per-pose gate 0.1."""
+    worst, _ = _run_on_recorded_gt("rslidar_fragment_gt.tum", indoor=True)
+    assert worst < 0.1, f"worst per-pose error {worst:.4f} on RSLIDAR GT motion"
 
 
 def test_fast_probe_mode_tracks(monkeypatch):

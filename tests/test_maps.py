@@ -218,6 +218,53 @@ class TestQueryNn2:
         assert float(d2[0, 0]) <= float(d2[0, 1])
 
 
+class TestNdtMinDistance:
+    """insertOpts min_distance_between_points on NDT: behavioral cross-frame
+    dedup against stored content (reference pipelines/lidar3d-ndt.yaml:
+    236-254 sets 0.2 m).  Quantized to min_distance sub-cells
+    (docs/parity.md)."""
+
+    def test_rejects_stored_subcell_across_frames(self):
+        m = NdtMap.create(1 << 8, 1.0)
+        p0 = jnp.asarray([[0.31, 0.31, 0.31]], jnp.float32)
+        m = ndt.insert(m, PointCloud.from_xyz(p0), min_distance=0.2)
+        assert int(m.n.sum()) == 1
+        # same sub-cell next frame: rejected, count unchanged
+        p1 = jnp.asarray([[0.33, 0.32, 0.30]], jnp.float32)
+        m = ndt.insert(m, PointCloud.from_xyz(p1), min_distance=0.2)
+        assert int(m.n.sum()) == 1
+        # a different sub-cell of the same voxel: accepted
+        p2 = jnp.asarray([[0.75, 0.75, 0.75]], jnp.float32)
+        m = ndt.insert(m, PointCloud.from_xyz(p2), min_distance=0.2)
+        assert int(m.n.sum()) == 2
+        # the rejected point must not have polluted the moments: mean is
+        # the average of the two ACCEPTED points
+        live = np.asarray(m.n) > 0
+        mean = np.asarray(m.means())[live][0]
+        np.testing.assert_allclose(mean, [0.53, 0.53, 0.53], atol=2e-2)
+
+    def test_fully_deduped_frame_keeps_voxel_live(self):
+        m = NdtMap.create(1 << 8, 1.0)
+        p0 = jnp.asarray([[0.5, 0.5, 0.5]], jnp.float32)
+        m = ndt.insert(m, PointCloud.from_xyz(p0), min_distance=0.5)
+        m = ndt.insert(m, PointCloud.from_xyz(p0), min_distance=0.5)
+        assert int(m.num_voxels()) == 1
+        assert int(m.n.sum()) == 1
+
+    def test_disabled_matches_plain_insert(self):
+        rng = np.random.default_rng(3)
+        pts = rng.uniform(-4, 4, (300, 3)).astype(np.float32)
+        m0 = ndt.insert(NdtMap.create(1 << 10, 1.0), PointCloud.from_xyz(jnp.asarray(pts)))
+        m1 = ndt.insert(
+            NdtMap.create(1 << 10, 1.0), PointCloud.from_xyz(jnp.asarray(pts)),
+            min_distance=0.0,
+        )
+        np.testing.assert_array_equal(np.asarray(m0.n), np.asarray(m1.n))
+        np.testing.assert_allclose(
+            np.asarray(m0.means()), np.asarray(m1.means()), atol=0
+        )
+
+
 class TestNdtDifferential:
     def test_moments_match_dict_model(self):
         """Multi-frame NDT inserts vs exact per-voxel numpy moments."""
