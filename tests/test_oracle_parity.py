@@ -224,6 +224,62 @@ def test_lidar2d_family_parity():
     _gate(traj, tpu, ora, "lidar2d")
 
 
+def test_lidar2d_fastturn_envelope():
+    """Fast-turn / large-displacement 2D regime (VERDICT r04 #10).
+
+    The occupancy matcher's exact-NN radius is bounded to one coarse
+    match-index cell (MATCH_GRID_FACTOR * resolution = 0.4 m,
+    ops/occupancy.py) while the reference KD-tree — and the float64
+    oracle (oracle.py, unbounded cKDTree over the same occupied
+    centers) — matches out to the full annealed threshold (2*sigma,
+    sigma_0 = 1 m, lidar2d.yaml:152-159).  The gentle family regime
+    (speed 1.5, yaw_rate 0.25) never needs matches past 0.4 m; this
+    regime does: speed 3 m/s + yaw_rate 1.2 rad/s drives pair quality
+    down to ~0.3-0.5 (most points beyond the radius at the entry pose)
+    while the prior keeps the solve observable.  Parity holds at 0.035
+    worst per-pose through the whole trackable envelope — the bounded
+    radius loses pairings the oracle keeps, but not the pose.
+
+    Frame budget: 21.  From frame ~22 BOTH engines leave the rails on
+    this world (oracle-vs-GT 0.23 -> 0.62 by frame 24, exact arithmetic
+    and unbounded NN included) — that cliff is the registration
+    algorithm's own envelope (yaw-jerk beyond the constant-velocity
+    prior), not a TPU approximation, so gating past it would gate
+    chaos (same argument as the near-far regime notes below)."""
+    pipeline = os.path.join(os.path.dirname(PIPELINE), "lidar2d.yaml")
+    overrides = dict(
+        raw_capacity=1 << 11,
+        map_slots=1 << 16,
+        layer_capacities={
+            "raw": 1 << 11, "deskewed": 1 << 11,
+            "decimated_pre": 1 << 11, "decimated": 1 << 11,
+        },
+        kf_ring_capacity=128,
+    )
+    n = 21
+    world = sim.make_world(3, extent=25.0, n_boxes=40, n_plates=30)
+    traj = sim.make_trajectory(n, dt=0.1, seed=6, speed=3.0, yaw_rate=1.2, z=0.3)
+    scans = [
+        sim.simulate_scan(
+            world, traj.R[k], traj.t[k], traj.twists[k],
+            n_rings=1, n_azimuth=720, fov_up_deg=0.0, fov_down_deg=0.0,
+            spin_period=0.1, max_range=30.0, seed=50 + k,
+        )
+        for k in range(n)
+    ]
+    tpu, ora = _drive_both(pipeline, traj, scans, overrides)
+    worst = 0.0
+    for (Rt, tt), (Ro, to) in zip(tpu, ora):
+        Rr, tr = relative(Ro, to, Rt, tt)
+        worst = max(worst, float(np.linalg.norm(se3_log(Rr, tr))))
+    assert worst < 0.1, f"lidar2d fast-turn: worst TPU-vs-oracle {worst:.4f}"
+    # document the envelope: the oracle itself must still be tracking here
+    # (if this trips, the world/trajectory changed and the frame budget
+    # needs re-deriving, not the parity gate loosening)
+    ora_band = _gt_band(traj, ora)
+    assert ora_band < 0.15, f"oracle left the envelope: {ora_band:.3f}"
+
+
 def _gt_band(traj, poses):
     R0, t0 = traj.R[0], traj.t[0]
     worst = 0.0
