@@ -378,6 +378,28 @@ def test_nearfar_family_perpose():
     assert worst < 0.15, f"near-far per-pose: worst TPU-vs-oracle {worst:.4f}"
 
 
+def test_nearfar_family_perpose_noisy():
+    """Near-far per-pose parity on the second-hardest STABLE regime
+    (VERDICT r04 #8): 0.3 m/s with 3x the sensor noise of the primary
+    per-pose regime (0.01 vs 0.005 — the noisiest sensor the 9-regime
+    study measured).  Regime selection, re-measured at round-5 head:
+    both 1.0 m/s regimes are oracle-unstable on this world (noise 0.002:
+    tpu-vs-oracle 0.234 with oracle-vs-GT 0.299; noise 0.005: 0.250 /
+    0.164 — the engine gap tracks the config's own GT instability, same
+    1:1 pattern as the primary test's docstring), so gating them would
+    gate chaos.  This regime is stable (oracle-vs-GT 0.085) and measured
+    worst tpu-vs-oracle 0.094 — gate 0.15 keeps 37% headroom on a
+    deterministic world."""
+    pipeline = os.path.join(os.path.dirname(PIPELINE), "extras", "lidar3d-near-far.yaml")
+    traj, scans = sim.simulate_sequence(n_frames=20, dt=0.1, speed=0.3, noise=0.01)
+    tpu, ora = _drive_both(pipeline, traj, scans, _extras_overrides(_NEARFAR_CAPS))
+    worst = 0.0
+    for (Rt, tt), (Ro, to) in zip(tpu, ora):
+        Rr, tr = relative(Ro, to, Rt, tt)
+        worst = max(worst, float(np.linalg.norm(se3_log(Rr, tr))))
+    assert worst < 0.15, f"near-far per-pose (noisy): worst {worst:.4f}"
+
+
 def test_kissicp_family_parity():
     """KISS-ICP ablation config (single matcher, no bbox cull, zero KF
     thresholds) under the strict engine-parity gates."""
