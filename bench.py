@@ -32,7 +32,7 @@ BATCH = int(os.environ.get("MOLA_BENCH_BATCH", 8))
 N_SCANS = int(os.environ.get("MOLA_BENCH_SCANS", 30))
 REPEATS = int(os.environ.get("MOLA_BENCH_REPEATS", 3))
 RAW_CAP = 1 << 17
-CACHE = os.path.join(HERE, ".bench_cache30.npz")
+CACHE = os.path.join(HERE, f".bench_cache{N_SCANS}.npz")
 
 
 def gen_scans():

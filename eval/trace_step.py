@@ -38,6 +38,13 @@ def main():
         "instruction names match the profile rows exactly (same executable), "
         "so unattributed fusions can be resolved by shape/opcode",
     )
+    ap.add_argument(
+        "--scan", action="store_true",
+        help="profile the EXACT bench program (one lax.scan over the whole "
+        "sequence, donated carry) instead of per-step dispatches — the scan "
+        "body can pay per-iteration copies the per-step profile never sees; "
+        "device time is reported per scan step (sequence length divides)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -75,16 +82,47 @@ def main():
             f.write(txt)
         print(f"optimized HLO -> {args.hlo} ({len(txt)} bytes)", file=sys.stderr)
 
-    # warm up into steady state (map built, tracking converged)
-    warm = 10
-    for k in range(warm):
-        carry, out = fstep(carry, packed[k])
-    jax.block_until_ready(carry)
+    if args.scan:
+        # the bench program verbatim: one lax.scan dispatch over the whole
+        # sequence with a donated carry (bench.py run_seq)
+        seq = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *packed)
+        seq = jax.device_put(seq)
 
-    with jax.profiler.trace(args.out):
-        for k in range(warm, warm + args.steps):
+        raw_step = pb.make_fleet_step(spec)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run_seq(c, s):
+            c, outs = jax.lax.scan(raw_step, c, s)
+            return c, outs.quality
+
+        compiled = run_seq.lower(carry, seq).compile()
+        c2, q = compiled(carry, seq)  # warm-up / first exec
+        jax.block_until_ready(q)
+        carry = pb.init_fleet_carry(spec, B)
+        jax.block_until_ready(carry)
+        import time as _time
+        t0 = _time.time()
+        with jax.profiler.trace(args.out):
+            c3, q = compiled(carry, seq)
+            jax.block_until_ready(q)
+        wall = _time.time() - t0
+        args.steps = len(packed)
+        print(
+            f"scan-mode wall: {wall * 1e3:.1f} ms for {args.steps} steps "
+            f"= {wall * 1e3 / args.steps:.3f} ms/step wall",
+            file=sys.stderr,
+        )
+    else:
+        # warm up into steady state (map built, tracking converged)
+        warm = 10
+        for k in range(warm):
             carry, out = fstep(carry, packed[k])
         jax.block_until_ready(carry)
+
+        with jax.profiler.trace(args.out):
+            for k in range(warm, warm + args.steps):
+                carry, out = fstep(carry, packed[k])
+            jax.block_until_ready(carry)
 
     paths = sorted(
         glob.glob(os.path.join(args.out, "plugins/profile/*/*.trace.json.gz")),
