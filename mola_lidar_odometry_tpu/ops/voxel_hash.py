@@ -562,19 +562,33 @@ def insert_stats(
         # point of a new voxel) are kept before any dest=1 point, etc.
         # A bring-up frame thus stores one point into EVERY new voxel
         # before densifying any — full spatial coverage for ICP from the
-        # first frame; only depth (K-fill) is deferred.  Rank of a point
-        # under (dest, stream-pos) order = all storable points at
-        # shallower dest + storables at my dest earlier in the stream;
-        # within a subrun dest increases with position, so kept sets
-        # remain subrun prefixes and the exact-count logic holds.
-        kk = jnp.arange(K, dtype=jnp.int32)
-        at_k = store[None, :] & (dest[None, :] == kk[:, None])  # (K, n)
-        within = jnp.cumsum(at_k.astype(jnp.int32), axis=1)  # incl. prefix
-        per_level = within[:, -1]
-        below = jnp.cumsum(per_level) - per_level  # storables at dest < k
-        prio_rank = (below[:, None] + within - 1).astype(jnp.int32)  # (K, n)
-        my_rank = jnp.sum(jnp.where(at_k, prio_rank, 0), axis=0)
-        keep = store & (my_rank < C)
+        # first frame; only depth (K-fill) is deferred.  Within a subrun
+        # dest increases with position, so kept sets remain subrun
+        # prefixes and the exact-count logic holds.
+        #
+        # Lowering: the kept set is "first C storables under (dest, pos)
+        # lexicographic order", so ONE single-operand combined-key sort
+        # (dest in the high bits, stream pos in the low bits — K<=20 and
+        # layer-sized n keep the pair inside i32) yields the priority
+        # permutation directly; a C-sized unique scatter marks the keep
+        # flags back in the stream domain.  This replaces a (K, n)
+        # level-expanded cumsum (lowered to a 0.26 ms reduce-window at
+        # B=8 bench shapes) plus the 2-operand kept-to-front sort below
+        # (0.08 ms) with a ~0.01 ms sort + ~0.03 ms scatter.
+        shift = max(1, (n - 1).bit_length())
+        pkey_prio = jnp.where(
+            store,
+            (dest << shift) | pos,
+            jnp.int32(1) << 30,
+        )
+        (prio_sorted,) = jax.lax.sort([pkey_prio], num_keys=1)
+        prio_sel = prio_sorted[:C] & ((jnp.int32(1) << shift) - 1)
+        prio_live = prio_sorted[:C] < (jnp.int32(1) << 30)
+        keep = (
+            jnp.zeros((n,), jnp.bool_)
+            .at[jnp.where(prio_live, prio_sel, jnp.int32(n))]
+            .set(True, mode="drop", unique_indices=True)
+        )
     else:
         keep = store
 
@@ -608,14 +622,15 @@ def insert_stats(
     )  # (n, 3)
     vals = jnp.stack([packed, spk, state_fin], axis=-1)
     if compact:
-        # ONE tiny stable sort moves kept rows to the front (cheap at layer
-        # sizes: ~0.15 ms at 8x13312), then the scatter touches only the
-        # C-prefix — 3*C static elements instead of 3*n.
-        pos2 = jnp.arange(n, dtype=jnp.int32)
-        _, perm = jax.lax.sort([(~keep).astype(jnp.int32), pos2], num_keys=2)
-        sel = perm[:C]
-        idx = BM.gather_rows(idx, sel)
-        vals = BM.gather_rows(vals, sel)
+        # the priority sort above already compacted the kept positions
+        # into its C-prefix — gather those rows so the scatter touches
+        # only 3*C static elements instead of 3*n.  Scatter row order is
+        # priority order rather than stream order: irrelevant, all
+        # landing indices are distinct.  Prefix entries beyond the live
+        # storables gather row 0 (clamp) — masked to the oob index so
+        # they drop (dropped entries may repeat under unique_indices).
+        idx = jnp.where(prio_live[:, None], BM.gather_rows(idx, prio_sel), oob)
+        vals = BM.gather_rows(vals, prio_sel)
     data = BM.scatter_set_unique(m.data.reshape(-1), idx, vals).reshape(m.data.shape)
 
     stats = InsertStats(
