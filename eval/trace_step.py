@@ -76,7 +76,7 @@ def main():
     packed = [
         pb.pack_scans(spec, [s] * B, [stamps[k]] * B) for k, s in enumerate(scans)
     ]
-    if args.hlo:
+    if args.hlo and not args.scan:
         txt = fstep.lower(carry, packed[0]).compile().as_text()
         with open(args.hlo, "w") as f:
             f.write(txt)
@@ -96,6 +96,16 @@ def main():
             return c, outs.quality
 
         compiled = run_seq.lower(carry, seq).compile()
+        if args.hlo:
+            # with --scan, dump the SCAN executable: instruction names match
+            # the scan profile rows exactly (the per-step module's don't)
+            txt = compiled.as_text()
+            with open(args.hlo, "w") as f:
+                f.write(txt)
+            print(
+                f"optimized scan HLO -> {args.hlo} ({len(txt)} bytes)",
+                file=sys.stderr,
+            )
         c2, q = compiled(carry, seq)  # warm-up / first exec
         jax.block_until_ready(q)
         carry = pb.init_fleet_carry(spec, B)

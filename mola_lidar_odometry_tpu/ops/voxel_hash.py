@@ -456,8 +456,12 @@ def insert_stats(
     sort_key = jnp.where(pc.valid, bucket, jnp.int32(NB))
     pos = jnp.arange(n, dtype=jnp.int32)
     packed_pre = pack_points(pc.xyz, coords, m.voxel_size)
+    # 2-key STABLE sort: pos rides as a value — stability already yields
+    # ascending input order within equal (bucket, pkey), so the explicit
+    # pos key is redundant and the comparator is a third narrower (same
+    # trick as the decimation group sort, filters.py).
     sb, spk, sidx, s_packed = jax.lax.sort(
-        [sort_key, pkey, pos, packed_pre], num_keys=3
+        [sort_key, pkey, pos, packed_pre], num_keys=2, is_stable=True
     )
     s_valid = sb < NB
     # Spread-pad the INVALID tail (sorted past the valid prefix): routing
@@ -570,11 +574,15 @@ def insert_stats(
         # lexicographic order", so ONE single-operand combined-key sort
         # (dest in the high bits, stream pos in the low bits — K<=20 and
         # layer-sized n keep the pair inside i32) yields the priority
-        # permutation directly; a C-sized unique scatter marks the keep
-        # flags back in the stream domain.  This replaces a (K, n)
+        # permutation directly, and the stream-domain keep flag is a
+        # plain threshold compare against the (C+1)-th smallest key
+        # (keys are all-distinct: pos is unique).  This replaces a (K, n)
         # level-expanded cumsum (lowered to a 0.26 ms reduce-window at
         # B=8 bench shapes) plus the 2-operand kept-to-front sort below
-        # (0.08 ms) with a ~0.01 ms sort + ~0.03 ms scatter.
+        # (0.08 ms) with a ~0.01 ms sort + a fused compare (a C-sized
+        # keep-flag scatter was A/B'd first: 0.19 ms — the compare is
+        # free).  Fewer than C storables: prio_sorted[C] is the invalid
+        # sentinel and the compare degenerates to ``store`` exactly.
         shift = max(1, (n - 1).bit_length())
         pkey_prio = jnp.where(
             store,
@@ -584,11 +592,7 @@ def insert_stats(
         (prio_sorted,) = jax.lax.sort([pkey_prio], num_keys=1)
         prio_sel = prio_sorted[:C] & ((jnp.int32(1) << shift) - 1)
         prio_live = prio_sorted[:C] < (jnp.int32(1) << 30)
-        keep = (
-            jnp.zeros((n,), jnp.bool_)
-            .at[jnp.where(prio_live, prio_sel, jnp.int32(n))]
-            .set(True, mode="drop", unique_indices=True)
-        )
+        keep = store & (pkey_prio < prio_sorted[C])
     else:
         keep = store
 
@@ -647,16 +651,24 @@ def _prune_state_scatter(
     m: VoxelHashMap, center: jax.Array, distance, row_start, n_rows: int
 ) -> VoxelHashMap:
     """Kill far slots in rows [row_start, row_start+n_rows): read the
-    contiguous slab, zero dead slots' state lanes with a vector select,
-    write it back with ONE dynamic_update_slice.
+    slab as ONE flat row gather, zero dead slots' state lanes with a
+    vector select, write it back with ONE dynamic_update_slice.
 
-    An element scatter here measured 1.4 ms at B=8 for only 16k elements
-    (round-3 device profile): sub-~100k-element scatters lower to a
-    serial per-element path (~85 ns/el), while the contiguous slab DUS is
-    pure bandwidth (~2x slab bytes, ~0.05 ms for the 64-slab default)."""
+    Lowering history (all measured at B=8, 67 MB table):
+      * element scatter write-back: 1.4 ms for 16k elements in round 3
+        (serial sub-100k path), 0.35 ms + a 0.10 ms table copy in the
+        round-5 re-test — always loses to the DUS (0.03 ms, vh while.330).
+      * ``dynamic_slice_in_dim`` READ: under vmap it lowers to a batched
+        gather whose chosen operand layout forces a whole-table relayout
+        copy (0.12 ms, round-5 scan profile copy.2267).  The flat
+        ``BM.gather_rows`` read keeps the table's native layout — the
+        gather itself is row-count-bound (~us at slab sizes)."""
+    from mola_lidar_odometry_tpu.ops import batched_mem as BM
+
     stride = m.stride
     spr = max(128 // stride, 1)
-    rows = jax.lax.dynamic_slice_in_dim(m.data, row_start, n_rows, -2)
+    ridx = row_start + jnp.arange(n_rows, dtype=jnp.int32)
+    rows = BM.gather_rows(m.data, ridx)  # (n_rows, 128)
     # slots covered by these rows
     if stride <= 128:
         w = rows.reshape(n_rows * spr, stride)
@@ -689,11 +701,15 @@ def zero_state_slab(m: VoxelHashMap, slab: jax.Array, n_slabs: int = 64) -> Voxe
     physically zeroed every ``n_slabs`` frames, so nothing survives long
     enough to meet its epoch again — at the same ~(table/n_slabs) cost
     class as the rolling-slab eviction, never a whole-table op."""
+    from mola_lidar_odometry_tpu.ops import batched_mem as BM
+
     R = m.data.shape[-2]
     ns = min(int(n_slabs), R)
     S = R // ns
     start = jnp.asarray(slab, jnp.int32) % ns * S
-    rows = jax.lax.dynamic_slice_in_dim(m.data, start, S, -2)
+    # flat row-gather read (not dynamic_slice: its vmapped lowering forces
+    # a whole-table relayout copy — see _prune_state_scatter)
+    rows = BM.gather_rows(m.data, start + jnp.arange(S, dtype=jnp.int32))
     stride = m.stride
     lane = jnp.arange(128, dtype=jnp.int32)
     if stride <= 128:
