@@ -130,7 +130,12 @@ class TestAutoCapacity:
         # raw gets 1.25x headroom over the first scan, rounded to 8k
         # (16384 pts -> 24576, round-4 policy: no pow2 doubling)
         assert lo.spec.raw_capacity == 24576
-        assert lo.spec.map_layers[0].num_slots >= 1 << 16
+        # map table = next_pow2(first-scan voxel estimate * MAP_SLOTS_FACTOR);
+        # assert the derived size tracks the policy factor (16 since round 5 —
+        # factor 32 doubled gather cost for no drop-budget gain), not a
+        # hard-coded round-4 literal.
+        from mola_lidar_odometry_tpu.utils import capacity as cap
+        assert lo.spec.map_layers[0].num_slots >= (1 << 16) * cap.MAP_SLOTS_FACTOR // 32
 
     def test_layer_capacities_not_saturated(self):
         traj, scans = sim.simulate_sequence(4, n_rings=16, n_azimuth=384)
