@@ -160,7 +160,9 @@ def main() -> int:
 
     fstep = pb.make_fleet_step(spec)
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def run(carry, seq):
         carry, outs = jax.lax.scan(fstep, carry, seq)
         return carry, (outs.pose_R, outs.pose_t, outs.quality, outs.accepted)
@@ -171,14 +173,20 @@ def main() -> int:
     jax.block_until_ready(ts)
     t_compile = time.time() - t0
 
-    dt = float("inf")
-    for _ in range(3):
-        carry_r = pb.init_fleet_carry(spec, B)
-        jax.block_until_ready(carry_r)
-        t0 = time.time()
-        _, (Rs, ts, q, acc) = run(carry_r, seq)
-        jax.block_until_ready(ts)
-        dt = min(dt, time.time() - t0)
+    # Timed window: REPEATS executions dispatched back-to-back, ONE sync —
+    # same steady-state protocol as bench.py (round 5): a per-call sync
+    # would charge the tunnel's fixed ~27 ms dispatch RPC to every F-frame
+    # sequence (17% of an 8x25 run), which production's continuous replay
+    # never pays.  Carries are pre-built outside the window (production
+    # keeps ONE resident carry; run donates its input).
+    repeats = 6
+    carries = [pb.init_fleet_carry(spec, B) for _ in range(repeats)]
+    jax.block_until_ready(carries)
+    t0 = time.time()
+    outs = [run(c, seq) for c in carries]
+    jax.block_until_ready(outs[-1][1][1])
+    dt = (time.time() - t0) / repeats
+    (Rs, ts, q, acc) = outs[-1][1]
 
     # gauge-aligned ATE-RMSE per instance
     Rs, ts = np.asarray(Rs), np.asarray(ts)  # (F, B, 3, 3), (F, B, 3)
